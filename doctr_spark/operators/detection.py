@@ -1,0 +1,254 @@
+"""Text-detection kernels: a DB-style postprocessor in pure numpy and a
+deterministic "detector model" for the synthetic raster pages.
+
+Behavioral parity targets in the reference:
+- postprocess contract: binarize proba map at bin_thresh, 3x3 morphological
+  opening, connected components, min-size filter, objectness = mean proba
+  over the component bbox, score filter at box_thresh, unclip expansion by
+  distance = area*unclip_ratio/perimeter, relative [0,1] output (N,5)
+  (doctr/models/detection/core.py:33-95 and
+   differentiable_binarization/base.py:41-152; defaults bin_thresh=0.3,
+   box_thresh=0.1, unclip_ratio=1.5).
+- The neural forward pass (DBNet) is replaced by ``ink_proba_map``: a
+  deterministic proba map derived from the rendered page (ink mask dilated
+  horizontally so intra-word char gaps fuse while inter-word gaps stay
+  open). This mirrors how the reference's own unit tests drive the
+  postprocessor with synthetic maps (tests/common/test_models_detection.py).
+
+Everything is vectorized numpy; connected components use run-length
+union-find (no per-pixel Python loops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BIN_THRESH = 0.3
+BOX_THRESH = 0.1
+UNCLIP_RATIO = 1.5
+MIN_SIZE_BOX = 2
+
+
+# ------------------------------------------------------------- morphology
+
+
+def _binary_erode3(m: np.ndarray) -> np.ndarray:
+    """3x3 erosion of a 0/1 array (zero-padded borders)."""
+    p = np.pad(m, 1, mode="constant")
+    out = np.ones_like(m)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            out &= p[dy : dy + m.shape[0], dx : dx + m.shape[1]]
+    return out
+
+
+def _binary_dilate3(m: np.ndarray) -> np.ndarray:
+    p = np.pad(m, 1, mode="constant")
+    out = np.zeros_like(m)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            out |= p[dy : dy + m.shape[0], dx : dx + m.shape[1]]
+    return out
+
+
+def binary_open3(m: np.ndarray) -> np.ndarray:
+    """3x3 opening (erosion then dilation) — despeckles the bitmap exactly
+    like the reference's cv2.MORPH_OPEN with a 3x3 kernel."""
+    return _binary_dilate3(_binary_erode3(m.astype(np.uint8)))
+
+
+def dilate_horizontal(m: np.ndarray, radius: int) -> np.ndarray:
+    """Horizontal dilation by ``radius`` px each side (fuses char gaps)."""
+    out = m.astype(bool).copy()
+    p = np.pad(m.astype(bool), ((0, 0), (radius, radius)), mode="constant")
+    for d in range(1, radius + 1):
+        out |= p[:, radius - d : radius - d + m.shape[1]]
+        out |= p[:, radius + d : radius + d + m.shape[1]]
+    return out.astype(np.uint8)
+
+
+def dilate_vertical(m: np.ndarray, radius: int) -> np.ndarray:
+    """Vertical dilation by ``radius`` px each side."""
+    out = m.astype(bool).copy()
+    p = np.pad(m.astype(bool), ((radius, radius), (0, 0)), mode="constant")
+    for d in range(1, radius + 1):
+        out |= p[radius - d : radius - d + m.shape[0], :]
+        out |= p[radius + d : radius + d + m.shape[0], :]
+    return out.astype(np.uint8)
+
+
+# ------------------------------------------------- connected components
+
+
+def connected_components(bitmap: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """8-connected components of a 0/1 bitmap via row-run union-find.
+
+    Returns component bboxes as (xmin, ymin, xmax, ymax) *inclusive* pixel
+    coords, in raster order of their topmost-leftmost run (deterministic).
+    """
+    h, w = bitmap.shape
+    b = bitmap.astype(bool)
+    # runs per row: (row, start, stop_exclusive)
+    runs: list[tuple[int, int, int]] = []
+    row_run_ranges: list[tuple[int, int]] = []  # [start_idx, stop_idx) into runs, per row
+    for y in range(h):
+        row = b[y]
+        start_idx = len(runs)
+        if row.any():
+            d = np.diff(row.astype(np.int8))
+            starts = np.flatnonzero(d == 1) + 1
+            stops = np.flatnonzero(d == -1) + 1
+            if row[0]:
+                starts = np.concatenate(([0], starts))
+            if row[-1]:
+                stops = np.concatenate((stops, [w]))
+            for s, e in zip(starts.tolist(), stops.tolist()):
+                runs.append((y, s, e))
+        row_run_ranges.append((start_idx, len(runs)))
+
+    n = len(runs)
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i: int, j: int) -> None:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+
+    for y in range(1, h):
+        a0, a1 = row_run_ranges[y - 1]
+        c0, c1 = row_run_ranges[y]
+        i, j = a0, c0
+        # two-pointer sweep over sorted runs; 8-connectivity => overlap with
+        # one-pixel diagonal slack
+        while i < a1 and j < c1:
+            _, s1, e1 = runs[i]
+            _, s2, e2 = runs[j]
+            if s1 < e2 + 1 and s2 < e1 + 1:  # touch or overlap (incl. diagonal)
+                union(i, j)
+            if e1 <= e2:
+                i += 1
+            else:
+                j += 1
+
+    boxes: dict[int, list[int]] = {}
+    order: list[int] = []
+    for idx, (y, s, e) in enumerate(runs):
+        root = find(idx)
+        if root not in boxes:
+            boxes[root] = [s, y, e - 1, y]
+            order.append(root)
+        else:
+            bb = boxes[root]
+            bb[0] = min(bb[0], s)
+            bb[1] = min(bb[1], y)
+            bb[2] = max(bb[2], e - 1)
+            bb[3] = max(bb[3], y)
+    return [tuple(boxes[r]) for r in order]  # type: ignore[misc]
+
+
+# ------------------------------------------------------------ postprocess
+
+
+def box_score(pred: np.ndarray, xmin: int, ymin: int, xmax: int, ymax: int) -> float:
+    """Mean proba over the inclusive bbox region (objectness)."""
+    h, w = pred.shape[:2]
+    x0 = int(np.clip(xmin, 0, w - 1))
+    x1 = int(np.clip(xmax, 0, w - 1))
+    y0 = int(np.clip(ymin, 0, h - 1))
+    y1 = int(np.clip(ymax, 0, h - 1))
+    return float(pred[y0 : y1 + 1, x0 : x1 + 1].mean())
+
+
+def unclip_box(xmin: int, ymin: int, xmax: int, ymax: int, unclip_ratio: float = UNCLIP_RATIO) -> tuple[int, int, int, int]:
+    """Expand an inclusive pixel bbox by the DB unclip distance
+    d = area*ratio/perimeter, with outward integer rounding (floor mins,
+    ceil maxes) — the analytic equivalent of a round-joint polygon offset
+    followed by a bounding rect, for axis-aligned components."""
+    bw = xmax - xmin + 1
+    bh = ymax - ymin + 1
+    d = (bw * bh) * unclip_ratio / (2.0 * (bw + bh))
+    return (
+        int(np.floor(xmin - d)),
+        int(np.floor(ymin - d)),
+        int(np.ceil(xmax + d)),
+        int(np.ceil(ymax + d)),
+    )
+
+
+def bitmap_to_boxes(
+    pred: np.ndarray,
+    bitmap: np.ndarray,
+    box_thresh: float = BOX_THRESH,
+    unclip_ratio: float = UNCLIP_RATIO,
+    min_size_box: int = MIN_SIZE_BOX,
+) -> np.ndarray:
+    """Connected components of the (already opened) bitmap -> (N,5) relative
+    [xmin,ymin,xmax,ymax,score] boxes, clipped to [0,1]."""
+    h, w = bitmap.shape[:2]
+    out: list[list[float]] = []
+    for x0, y0, x1, y1 in connected_components(bitmap):
+        # extent filter mirrors the reference's contour-extent < min_size drop
+        if (x1 - x0) < min_size_box or (y1 - y0) < min_size_box:
+            continue
+        score = box_score(pred, x0, y0, x1, y1)
+        if score < box_thresh:
+            continue
+        ex0, ey0, ex1, ey1 = unclip_box(x0, y0, x1, y1, unclip_ratio)
+        if (ex1 - ex0) < min_size_box or (ey1 - ey0) < min_size_box:
+            continue
+        out.append(
+            [
+                ex0 / w,
+                ey0 / h,
+                (ex1 + 1) / w,
+                (ey1 + 1) / h,
+                score,
+            ]
+        )
+    if not out:
+        return np.zeros((0, 5), dtype=np.float64)
+    return np.clip(np.asarray(out, dtype=np.float64), 0.0, 1.0)
+
+
+def postprocess_proba_map(
+    proba: np.ndarray,
+    bin_thresh: float = BIN_THRESH,
+    box_thresh: float = BOX_THRESH,
+    unclip_ratio: float = UNCLIP_RATIO,
+) -> np.ndarray:
+    """Full DB-style postprocess of one (H,W) proba map -> (N,5) boxes."""
+    bitmap = binary_open3((proba >= bin_thresh).astype(np.uint8))
+    return bitmap_to_boxes(proba, bitmap, box_thresh, unclip_ratio)
+
+
+# ----------------------------------------------- deterministic "model"
+
+
+def ink_proba_map(
+    img: np.ndarray,
+    scale: int,
+    ink_level: float = 0.98,
+    bg_level: float = 0.02,
+) -> np.ndarray:
+    """Deterministic stand-in for the DBNet forward pass on raster-font
+    pages: ink mask (dark pixels on a white page) dilated vertically by 4s
+    and horizontally by 3s. With the font layout (char gap 2s + up to 2s of
+    blank glyph edge columns per side => worst inter-glyph ink gap 6s; word
+    gap 7s; line leading 9s) this provably fuses every glyph pair of a word
+    into one 8-connected blob while keeping words and lines separate."""
+    gray = img if img.ndim == 2 else img.mean(axis=-1)
+    ink = (gray < 128).astype(np.uint8)
+    fused = dilate_horizontal(dilate_vertical(ink, 4 * scale), 3 * scale)
+    return np.where(fused > 0, ink_level, bg_level).astype(np.float64)
+
+
+# postprocessor config for the ink-fuse model family: the deterministic
+# model does not shrink text regions the way DB training targets do, so its
+# unclip ratio is small (just enough to add a safety margin to crops).
+INK_MODEL_POSTPROC = {"bin_thresh": BIN_THRESH, "box_thresh": BOX_THRESH, "unclip_ratio": 0.2}

@@ -1,0 +1,108 @@
+"""Geometry kernels (pure numpy, float64).
+
+Behavioral parity targets in the reference:
+- resolve_enclosing_bbox : doctr/utils/geometry.py:77-96 (min/max over boxes)
+- quad -> straight bbox   : doctr/models/builder.py:62 (min(1)/max(1) concat)
+- estimate_page_angle     : doctr/utils/geometry.py:350-365 (median arctan)
+- extract_crops           : doctr/utils/geometry.py:393-422 (relative->abs slice)
+- convert_to_relative     : doctr/utils/geometry.py:368-390 (clip to [0,1])
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def resolve_enclosing_bbox(boxes: np.ndarray) -> np.ndarray:
+    """(N,4) [xmin,ymin,xmax,ymax] -> enclosing (4,) bbox."""
+    b = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    return np.array([b[:, 0].min(), b[:, 1].min(), b[:, 2].max(), b[:, 3].max()])
+
+
+def quads_to_straight(quads: np.ndarray) -> np.ndarray:
+    """(N,4,2) polygons -> (N,4) straight boxes via per-quad min/max."""
+    q = np.asarray(quads, dtype=np.float64)
+    return np.concatenate((q.min(axis=1), q.max(axis=1)), axis=-1)
+
+
+def estimate_page_angle(polys: np.ndarray) -> float:
+    """Median skew angle (degrees) over (N,4,2) polys whose points are ordered
+    top-left, top-right, bottom-right, bottom-left: arctan of the top edge."""
+    p = np.asarray(polys, dtype=np.float64)
+    xleft = p[:, 0, 0] + p[:, 3, 0]
+    yleft = p[:, 0, 1] + p[:, 3, 1]
+    xright = p[:, 1, 0] + p[:, 2, 0]
+    yright = p[:, 1, 1] + p[:, 2, 1]
+    with np.errstate(divide="raise", invalid="raise"):
+        try:
+            return float(
+                np.median(np.arctan((yleft - yright) / (xright - xleft))) * 180 / np.pi
+            )
+        except FloatingPointError:
+            return 0.0
+
+
+def convert_to_relative(abs_boxes: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Absolute pixel (N,4) boxes -> relative [0,1], clipped."""
+    b = np.asarray(abs_boxes, dtype=np.float64).copy()
+    b[:, [0, 2]] /= width
+    b[:, [1, 3]] /= height
+    return np.clip(b, 0.0, 1.0)
+
+
+def to_absolute(rel_boxes: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Relative (N,4) boxes -> integer pixel boxes (round, clip)."""
+    b = np.asarray(rel_boxes, dtype=np.float64).copy()
+    b[:, [0, 2]] *= width
+    b[:, [1, 3]] *= height
+    b = b.round().astype(np.int64)
+    b[:, [0, 2]] = np.clip(b[:, [0, 2]], 0, width)
+    b[:, [1, 3]] = np.clip(b[:, [1, 3]], 0, height)
+    return b
+
+
+def extract_crops(img: np.ndarray, rel_boxes: np.ndarray) -> list[np.ndarray]:
+    """Slice relative straight boxes out of an (H,W[,C]) image. Zero-area
+    crops are returned as empty arrays (caller filters them, mirroring the
+    reference's zero-size drop in models/predictor/base.py:115-153)."""
+    h, w = img.shape[:2]
+    out = []
+    for xmin, ymin, xmax, ymax in to_absolute(np.asarray(rel_boxes).reshape(-1, 4), h, w):
+        out.append(img[ymin:ymax, xmin:xmax])
+    return out
+
+
+def box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N,4) x (M,4) -> (N,M) IoU. (doctr/utils/metrics.py:124-149 semantics)"""
+    a = np.asarray(a, dtype=np.float64).reshape(-1, 4)
+    b = np.asarray(b, dtype=np.float64).reshape(-1, 4)
+    ix = np.maximum(
+        0.0,
+        np.minimum(a[:, None, 2], b[None, :, 2]) - np.maximum(a[:, None, 0], b[None, :, 0]),
+    )
+    iy = np.maximum(
+        0.0,
+        np.minimum(a[:, None, 3], b[None, :, 3]) - np.maximum(a[:, None, 1], b[None, :, 1]),
+    )
+    inter = ix * iy
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(union > 0, inter / union, 0.0)
+
+
+def nms(boxes: np.ndarray, thresh: float = 0.5) -> list[int]:
+    """Greedy non-max suppression on (N,5) [x1,y1,x2,y2,score].
+    (doctr/utils/metrics.py:181-216 semantics)"""
+    b = np.asarray(boxes, dtype=np.float64).reshape(-1, 5)
+    order = b[:, 4].argsort()[::-1]
+    keep: list[int] = []
+    while order.size > 0:
+        i = int(order[0])
+        keep.append(i)
+        if order.size == 1:
+            break
+        ious = box_iou_matrix(b[i : i + 1, :4], b[order[1:], :4])[0]
+        order = order[1:][ious <= thresh]
+    return keep

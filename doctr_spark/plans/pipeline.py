@@ -1,0 +1,187 @@
+"""The fused per-turn extraction pipeline.
+
+Topology (cf. SURVEY.md §3.1's Spark lifecycle): parquet/Iceberg scan ->
+[optional salted repartition] -> ONE Arrow-batched ``mapInPandas`` stage
+that routes each turn by payload kind and runs the full extraction chain
+in-process (decode -> detect -> crop -> recognize(CTC) -> build -> render,
+or DOM-strip for HTML, or identity for plain text) -> window-ordered
+output.
+
+Fusing the det/reco/build stages into a single UDF is the deliberate
+scale choice: page images dwarf the text they produce, so they must never
+cross a shuffle boundary — only (conv_id, turn_idx, extracted_text, words,
+metrics) leave the stage. Catalyst handles column pruning into the scan
+(only the 6 input columns are read) and AQE handles post-stage exchanges.
+
+Skew: heavy per-row work is independent across turns, so parallelism comes
+from parquet input splits (maxPartitionBytes), NOT from a key shuffle; a
+single 10^5-turn conversation therefore spreads over many tasks naturally.
+``salt_partitions`` forces an explicit even re-spread by (conv_id,
+turn_idx) hash for pathological file layouts (few huge row groups).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.html import extract_main_text, looks_like_html
+from ..functions.vocabs import FONT, encode_string
+from ..operators.builder import build_page
+from ..operators.detection import INK_MODEL_POSTPROC, ink_proba_map, postprocess_proba_map
+from ..operators.geometry import extract_crops
+from ..operators.recognition import ctc_best_path, indices_to_logits
+from ..sources.font import read_word_crop
+from ..sources.payloads import decode_page_bundle, parse_tool_envelope
+
+EXTRACT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, ts timestamp, payload_kind string, "
+    "extracted_text string, n_pages int, n_boxes int, n_chars int, strip_ratio double, "
+    "min_conf double, words array<struct<value:string, confidence:double, xmin:double, "
+    "ymin:double, xmax:double, ymax:double, page_idx:int, line_idx:int, word_idx:int>>"
+)
+
+PAGE_SEP = "\n\n\n\n"
+
+
+def _recognize_word(crop: np.ndarray, scale: int) -> tuple[str, float]:
+    """Glyph features -> logits -> CTC best-path decode (deterministic)."""
+    raw = read_word_crop(crop, scale)
+    try:
+        indices = encode_string(raw, FONT)
+    except ValueError:
+        return raw, 0.0
+    return ctc_best_path(indices_to_logits(indices), FONT)[0]
+
+
+def extract_turn_ocr(bundle: bytes) -> tuple[str, int, int, float, list[dict]]:
+    """Decode a page bundle and run detect->crop->recognize->build per page.
+
+    Returns (document_text, n_pages, n_boxes, min_conf, words).
+    """
+    pages, scale = decode_page_bundle(bundle)
+    page_texts: list[str] = []
+    words_out: list[dict] = []
+    n_boxes = 0
+    min_conf = 1.0
+    for page_idx, img in enumerate(pages):
+        proba = ink_proba_map(img, scale)
+        boxes = postprocess_proba_map(proba, **INK_MODEL_POSTPROC)
+        crops = extract_crops(img, boxes[:, :4])
+        keep = [i for i, c in enumerate(crops) if c.size > 0]  # zero-size drop
+        boxes = boxes[keep]
+        preds = [_recognize_word(crops[i], scale) for i in keep]
+        values = [p[0] for p in preds]
+        confs = np.array([p[1] for p in preds]) if preds else np.zeros(0)
+        built = build_page(boxes[:, :4], values, boxes[:, 4])
+        page_texts.append(built.text)
+        n_boxes += len(values)
+        if confs.size:
+            min_conf = min(min_conf, float(confs.min()))
+        for w in built.words:
+            w["page_idx"] = page_idx
+            words_out.append(w)
+    return PAGE_SEP.join(page_texts), len(pages), n_boxes, min_conf, words_out
+
+
+def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out_rows = []
+    for conv_id, turn_idx, role, text, tool, ts in zip(
+        pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"], pdf["tool"], pdf["ts"]
+    ):
+        payload = parse_tool_envelope(tool) if tool else None
+        words: list[dict] = []
+        n_pages, n_boxes, min_conf, strip_ratio = 0, 0, 1.0, 1.0
+        if payload is not None and payload[0] == "page_bundle":
+            kind = "ocr"
+            extracted, n_pages, n_boxes, min_conf, words = extract_turn_ocr(payload[1])
+        elif text and looks_like_html(text):
+            kind = "html"
+            extracted = extract_main_text(text)
+            strip_ratio = (len(extracted) / len(text)) if len(text) else 1.0
+        else:
+            kind = "plain"
+            extracted = text or ""
+        out_rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": turn_idx,
+                "role": role,
+                "ts": ts,
+                "payload_kind": kind,
+                "extracted_text": extracted,
+                "n_pages": n_pages,
+                "n_boxes": n_boxes,
+                "n_chars": len(extracted),
+                "strip_ratio": float(strip_ratio),
+                "min_conf": float(min_conf),
+                "words": [
+                    (
+                        w["value"],
+                        w["confidence"],
+                        w["xmin"],
+                        w["ymin"],
+                        w["xmax"],
+                        w["ymax"],
+                        w.get("page_idx", 0),
+                        w["line_idx"],
+                        w["word_idx"],
+                    )
+                    for w in words
+                ],
+            }
+        )
+    return pd.DataFrame(
+        out_rows,
+        columns=[
+            "conv_id", "turn_idx", "role", "ts", "payload_kind", "extracted_text",
+            "n_pages", "n_boxes", "n_chars", "strip_ratio", "min_conf", "words",
+        ],
+    )
+
+
+def extract_turns(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+    """Fused extraction over a transcript DataFrame.
+
+    ``salt_partitions``: optional explicit re-spread by (conv_id, turn_idx)
+    hash before the heavy stage — only needed when the input file layout is
+    pathologically skewed; the shuffle moves payload bytes, so default off.
+    """
+    src = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    if salt_partitions:
+        src = src.repartition(salt_partitions, F.xxhash64("conv_id", "turn_idx"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _extract_batch(pdf)
+
+    return src.mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def ordered_turns(extracted: DataFrame) -> DataFrame:
+    """Stable per-conversation ordering: never rely on row order after a
+    shuffle — materialize the (conv_id, turn_idx) rank explicitly."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return extracted.withColumn("turn_rank", F.row_number().over(w))
+
+
+def conversation_documents(extracted: DataFrame) -> DataFrame:
+    """Collapse a conversation's turns into one document string (turns joined
+    in turn_idx order by the page separator) + rollup metrics."""
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("turn_idx").alias("o"), F.col("extracted_text").alias("v")))
+    )
+    return (
+        extracted.groupBy("conv_id")
+        .agg(
+            F.array_join(F.transform(pairs, lambda s: s["v"]), PAGE_SEP).alias("document_text"),
+            F.count("*").alias("n_turns"),
+            F.sum("n_boxes").alias("n_boxes"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
