@@ -1,0 +1,112 @@
+"""Builder geometry goldens — the seven published reading-order cases
+(mirrors the reference's parametrized fixtures,
+tests/common/test_models_builder.py:187-230)."""
+
+import numpy as np
+import pytest
+
+from doctr_spark.operators.builder import (
+    build_page,
+    reading_order_keys,
+    resolve_lines,
+    resolve_sub_lines,
+    sort_boxes,
+)
+from doctr_spark.operators.geometry import quads_to_straight, resolve_enclosing_bbox
+
+
+@pytest.mark.parametrize(
+    ("boxes", "expected_order"),
+    [
+        # vertical stack: bottom-listed first in input, reading order flips
+        ([[0, 0.5, 0.1, 0.6], [0, 0.3, 0.2, 0.4], [0, 0, 0.1, 0.1]], [2, 1, 0]),
+        # diagonal
+        ([[0.7, 0.5, 0.85, 0.6], [0.2, 0.3, 0.4, 0.4], [0, 0, 0.1, 0.1]], [2, 1, 0]),
+        # same line
+        ([[0, 0.5, 0.1, 0.6], [0.15, 0.5, 0.25, 0.6], [0.5, 0.5, 0.6, 0.6]], [0, 1, 2]),
+        # almost same line
+        ([[0, 0.5, 0.1, 0.6], [0.2, 0.49, 0.35, 0.59], [0.8, 0.52, 0.9, 0.63]], [0, 1, 2]),
+    ],
+)
+def test_sort_boxes(boxes, expected_order):
+    order, straight = sort_boxes(np.asarray(boxes, dtype=np.float64))
+    assert order.tolist() == expected_order
+    assert straight.shape == (len(boxes), 4)
+
+
+def test_sort_key_formula():
+    b = np.array([[0.1, 0.2, 0.3, 0.4], [0.0, 0.0, 0.2, 0.1]])
+    med_h = np.median(b[:, 3] - b[:, 1])
+    expect = b[:, 0] + 2 * b[:, 3] / med_h
+    assert np.allclose(reading_order_keys(b), expect)
+
+
+@pytest.mark.parametrize(
+    ("boxes", "expected_lines"),
+    [
+        # vertical: three separate lines
+        ([[0, 0.5, 0.1, 0.6], [0, 0.3, 0.2, 0.4], [0, 0, 0.1, 0.1]], [[2], [1], [0]]),
+        # diagonal: three separate lines
+        ([[0.7, 0.5, 0.85, 0.6], [0.2, 0.3, 0.4, 0.4], [0, 0, 0.1, 0.1]], [[2], [1], [0]]),
+        # same vertical band, gap after second word -> sub-line split
+        ([[0, 0.5, 0.14, 0.6], [0.15, 0.5, 0.25, 0.6], [0.5, 0.5, 0.6, 0.6]], [[0, 1], [2]]),
+        # ~same line, then far word
+        ([[0, 0.5, 0.18, 0.6], [0.2, 0.48, 0.35, 0.58], [0.8, 0.52, 0.9, 0.63]], [[0, 1], [2]]),
+        # two lines: first two words together, third below
+        ([[0, 0.3, 0.48, 0.45], [0.5, 0.28, 0.75, 0.42], [0, 0.45, 0.1, 0.55]], [[0, 1], [2]]),
+        # wide gap on first line -> split, then second line
+        ([[0, 0.3, 0.4, 0.35], [0.75, 0.28, 0.95, 0.42], [0, 0.45, 0.1, 0.55]], [[0], [1], [2]]),
+    ],
+)
+def test_resolve_lines(boxes, expected_lines):
+    assert resolve_lines(np.asarray(boxes, dtype=np.float64)) == expected_lines
+
+
+def test_resolve_lines_rotated_quads():
+    quads = [
+        [[0.1, 0.1], [0.2, 0.2], [0.15, 0.25], [0.05, 0.15]],
+        [[0.5, 0.5], [0.6, 0.6], [0.55, 0.65], [0.45, 0.55]],
+    ]
+    assert resolve_lines(np.asarray(quads, dtype=np.float64)) == [[0], [1]]
+
+
+def test_resolve_sub_lines_gap():
+    boxes = np.array([[0.0, 0, 0.1, 0.1], [0.11, 0, 0.2, 0.1], [0.5, 0, 0.6, 0.1]])
+    assert resolve_sub_lines(boxes, [0, 1, 2]) == [[0, 1], [2]]
+    # gap just under the 0.035 threshold stays together
+    boxes2 = np.array([[0.0, 0, 0.1, 0.1], [0.134, 0, 0.2, 0.1]])
+    assert resolve_sub_lines(boxes2, [0, 1]) == [[0, 1]]
+    # gap exactly at threshold splits (>= semantics)
+    boxes3 = np.array([[0.0, 0, 0.1, 0.1], [0.135, 0, 0.2, 0.1]])
+    assert resolve_sub_lines(boxes3, [0, 1]) == [[0], [1]]
+
+
+def test_rotated_quad_to_straight_export():
+    # quad -> enclosing straight bbox (reference golden:
+    # tests/common/test_models_builder.py:74-88)
+    quad = np.array([[[0.5, 0.5], [0.6, 0.6], [0.55, 0.65], [0.45, 0.55]]])
+    out = quads_to_straight(quad)
+    assert np.allclose(out[0], [0.45, 0.5, 0.6, 0.65])
+
+
+def test_enclosing_bbox():
+    boxes = np.array([[0.1, 0.2, 0.3, 0.4], [0.05, 0.3, 0.2, 0.5]])
+    assert np.allclose(resolve_enclosing_bbox(boxes), [0.05, 0.2, 0.3, 0.5])
+
+
+def test_build_page_render():
+    boxes = np.array(
+        [[0.0, 0.0, 0.1, 0.1], [0.12, 0.0, 0.2, 0.1], [0.0, 0.5, 0.1, 0.6]]
+    )
+    page = build_page(boxes, ["hello", "world", "below"])
+    assert page.text == "hello world\nbelow"
+    assert page.n_words == 3
+    assert page.words[0]["value"] == "hello"
+    assert page.words[0]["line_idx"] == 0
+    assert page.words[2]["line_idx"] == 1
+
+
+def test_build_page_empty():
+    page = build_page(np.zeros((0, 4)), [])
+    assert page.text == ""
+    assert page.n_words == 0

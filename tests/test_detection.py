@@ -1,0 +1,111 @@
+"""Detection postprocessor goldens on synthetic proba maps (style of the
+reference's tests/common/test_models_detection.py)."""
+
+import numpy as np
+import pytest
+
+from doctr_spark.operators.detection import (
+    binary_open3,
+    bitmap_to_boxes,
+    box_score,
+    connected_components,
+    postprocess_proba_map,
+    unclip_box,
+)
+from doctr_spark.operators.geometry import box_iou_matrix, nms
+
+
+def _map_with_rects(h, w, rects, fg=0.9, bg=0.05):
+    m = np.full((h, w), bg)
+    for x0, y0, x1, y1 in rects:
+        m[y0:y1, x0:x1] = fg
+    return m
+
+
+def test_connected_components_basic():
+    bm = np.zeros((20, 40), dtype=np.uint8)
+    bm[2:8, 3:13] = 1
+    bm[12:18, 20:35] = 1
+    comps = connected_components(bm)
+    assert comps == [(3, 2, 12, 7), (20, 12, 34, 17)]
+
+
+def test_connected_components_diagonal_touch():
+    bm = np.zeros((4, 4), dtype=np.uint8)
+    bm[0, 0] = 1
+    bm[1, 1] = 1  # 8-connectivity joins diagonals
+    comps = connected_components(bm)
+    assert len(comps) == 1
+
+
+def test_opening_removes_speckle():
+    bm = np.zeros((10, 10), dtype=np.uint8)
+    bm[5, 5] = 1  # single pixel
+    bm[1:5, 1:5] = 1  # 4x4 block survives
+    opened = binary_open3(bm)
+    assert opened[5, 5] == 0
+    assert opened[2, 2] == 1
+
+
+def test_box_score_mean():
+    pred = np.zeros((10, 10))
+    pred[2:5, 2:5] = 1.0
+    assert box_score(pred, 2, 2, 4, 4) == 1.0
+    assert box_score(pred, 0, 0, 9, 9) == pytest.approx(9 / 100)
+
+
+def test_unclip_expansion():
+    # 10x10 box at (5,5)-(14,14): d = 100*1.5/(2*20) = 3.75
+    x0, y0, x1, y1 = unclip_box(5, 5, 14, 14, 1.5)
+    assert (x0, y0) == (1, 1)  # floor(5-3.75)
+    assert (x1, y1) == (18, 18)  # ceil(14+3.75)
+
+
+def test_two_rects_detected():
+    proba = _map_with_rects(100, 200, [(10, 10, 60, 30), (100, 50, 180, 80)])
+    boxes = postprocess_proba_map(proba)
+    assert boxes.shape == (2, 5)
+    # scores = mean over expanded bbox region > box_thresh
+    assert (boxes[:, 4] > 0.1).all()
+    # first rect: ink region [10,60)x[10,30) must be inside the detected box
+    b0 = boxes[np.argsort(boxes[:, 0])][0]
+    assert b0[0] <= 10 / 200 and b0[2] >= 60 / 200
+    assert b0[1] <= 10 / 100 and b0[3] >= 30 / 100
+
+
+def test_small_component_dropped():
+    proba = _map_with_rects(50, 50, [(10, 10, 12, 12)])  # 2x2 -> extent 1 < 2
+    boxes = postprocess_proba_map(proba)
+    assert boxes.shape[0] == 0
+
+
+def test_low_score_dropped():
+    proba = _map_with_rects(50, 50, [(5, 5, 30, 30)], fg=0.35)
+    # passes bin_thresh 0.3 but a high box_thresh filters it
+    boxes = postprocess_proba_map(proba, box_thresh=0.9)
+    assert boxes.shape[0] == 0
+
+
+def test_boxes_clipped_to_unit():
+    proba = _map_with_rects(40, 40, [(0, 0, 30, 30)])
+    boxes = postprocess_proba_map(proba)
+    assert (boxes[:, :4] >= 0).all() and (boxes[:, :4] <= 1).all()
+
+
+def test_iou_and_nms():
+    a = np.array([[0, 0, 1, 1]])
+    b = np.array([[0.5, 0.5, 1.5, 1.5], [2, 2, 3, 3]])
+    iou = box_iou_matrix(a, b)
+    assert iou[0, 0] == pytest.approx(0.25 / 1.75)
+    assert iou[0, 1] == 0.0
+    stack = np.array([[0, 0, 1, 1, 0.9], [0.05, 0.05, 1.05, 1.05, 0.8], [2, 2, 3, 3, 0.7]])
+    keep = nms(stack, thresh=0.5)
+    assert keep == [0, 2]
+
+
+def test_bitmap_to_boxes_scores_from_pred():
+    pred = _map_with_rects(60, 60, [(10, 10, 40, 40)], fg=0.8)
+    bitmap = (pred >= 0.3).astype(np.uint8)
+    boxes = bitmap_to_boxes(pred, bitmap)
+    assert boxes.shape[0] == 1
+    assert boxes[0, 4] == pytest.approx(0.8, abs=1e-6)

@@ -1,0 +1,83 @@
+"""End-to-end Spark pipeline: per-turn text equality, ordering, rollups.
+This is the sandbox version of the north-metric correctness gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doctr_spark.plans.pipeline import (
+    conversation_documents,
+    extract_turns,
+    ordered_turns,
+)
+from doctr_spark.sources.corpus import make_transcripts
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    gen = make_transcripts(spark, 24, partitions=4, long_every=12, long_turns=40).cache()
+    gen.count()
+    yield gen
+    gen.unpersist()
+
+
+def test_per_turn_equality(spark, corpus):
+    inp = corpus.drop("expected_text", "payload_kind")
+    res = extract_turns(inp)
+    j = res.join(corpus.select("conv_id", "turn_idx", "expected_text"), ["conv_id", "turn_idx"])
+    total = j.count()
+    assert total == corpus.count()
+    mismatches = j.filter(F.col("extracted_text") != F.col("expected_text")).count()
+    assert mismatches == 0
+
+
+def test_all_payload_kinds_covered(spark, corpus):
+    res = extract_turns(corpus.drop("expected_text", "payload_kind"))
+    kinds = {r["payload_kind"] for r in res.select("payload_kind").distinct().collect()}
+    assert kinds == {"plain", "html", "ocr"}
+
+
+def test_metrics_populated(spark, corpus):
+    res = extract_turns(corpus.drop("expected_text", "payload_kind")).cache()
+    ocr = res.filter(F.col("payload_kind") == "ocr")
+    row = ocr.agg(
+        F.min("n_boxes").alias("minb"), F.min("min_conf").alias("minc"), F.min("n_pages").alias("minp")
+    ).collect()[0]
+    assert row["minb"] > 0 and row["minp"] >= 1
+    assert row["minc"] > 0.5  # deterministic logits give high confidence
+    html = res.filter(F.col("payload_kind") == "html")
+    sr = html.agg(F.max("strip_ratio").alias("m")).collect()[0]["m"]
+    assert 0 < sr < 1  # boilerplate was actually stripped
+    res.unpersist()
+
+
+def test_words_spans_present(spark, corpus):
+    res = extract_turns(corpus.drop("expected_text", "payload_kind"))
+    ocr = res.filter(F.col("payload_kind") == "ocr").limit(5).collect()
+    for r in ocr:
+        assert len(r["words"]) == r["n_boxes"]
+        w = r["words"][0]
+        assert 0 <= w["xmin"] < w["xmax"] <= 1
+        assert w["value"]
+
+
+def test_ordered_turns_rank(spark, corpus):
+    res = ordered_turns(extract_turns(corpus.drop("expected_text", "payload_kind")))
+    bad = res.filter(F.col("turn_rank") != F.col("turn_idx") + 1).count()
+    assert bad == 0
+
+
+def test_conversation_documents(spark, corpus):
+    res = extract_turns(corpus.drop("expected_text", "payload_kind"))
+    docs = conversation_documents(res)
+    assert docs.count() == corpus.select("conv_id").distinct().count()
+    row = docs.filter(F.col("conv_id") == "conv-000000").collect()[0]
+    assert row["n_turns"] == 40
+    assert row["document_text"].count("\n\n\n\n") >= row["n_turns"] - 1
+
+
+def test_salted_extraction_same_result(spark, corpus):
+    inp = corpus.drop("expected_text", "payload_kind")
+    plain = extract_turns(inp).select("conv_id", "turn_idx", "extracted_text")
+    salted = extract_turns(inp, salt_partitions=8).select("conv_id", "turn_idx", "extracted_text")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
