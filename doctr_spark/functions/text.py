@@ -1,0 +1,146 @@
+"""Text-analysis column builders for large-scale corpus pipelines:
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+Every op here is expressed with built-in JVM-side column functions (no
+Python in the hot path) and has an exactly-matching DuckDB SQL twin
+(`*_SQL` strings) so the driver's oracle can verify values bit-for-bit.
+Floats are rounded to 6 decimals on both sides before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language marker words for the n-gram/stopword heuristic language ID.
+# Deliberately tiny and deterministic — the point is the distributed
+# pattern (pure column math over 100 TB), not linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " una "],
+    "zh": ["的", "是", "了"],
+}
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+
+
+TOKEN_COUNT_SQL = (
+    "CASE WHEN length(trim({c})) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim({c}), '\\s+')) END"
+)
+
+
+def char_class_ratio(col: Column, keep_regex: str) -> Column:
+    """Fraction of characters matching a class, 0.0 for empty strings."""
+    return F.round(
+        F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+            F.length(F.regexp_replace(col, keep_regex, "")) / F.length(col)
+        ),
+        6,
+    )
+
+
+def char_class_ratio_sql(c: str, keep_regex: str) -> str:
+    # NOTE: DuckDB needs the 'g' flag to replace all occurrences
+    return (
+        f"round(CASE WHEN length({c}) = 0 THEN 0.0 "
+        f"ELSE length(regexp_replace({c}, '{keep_regex}', '', 'g')) * 1.0 / length({c}) END, 6)"
+    )
+
+
+ALPHA_REGEX = "[^A-Za-z]"  # ratio of alphabetic chars: strip non-alpha, measure remainder
+DIGIT_REGEX = "[^0-9]"
+SPACE_REGEX = "[^ ]"
+
+
+def marker_hits(col: Column, marker: str) -> Column:
+    """Occurrences of a marker substring in ' '||lower(text)||' '."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(marker)))) / len(marker)
+
+
+def marker_hits_sql(c: str, marker: str) -> str:
+    p = f"' ' || lower({c}) || ' '"
+    esc = marker.replace("'", "''")
+    return f"(length({p}) - length(replace({p}, '{esc}', ''))) / {len(marker)}"
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {
+        lang: sum((marker_hits(col, m) for m in markers), F.lit(0.0))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_scores_sql(c: str) -> dict[str, str]:
+    return {
+        lang: " + ".join(marker_hits_sql(c, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by marker score; 'unknown' when all scores are 0.
+    Ties break by the fixed language order (greatest-of chain)."""
+    scores = lang_scores(col)
+    result = F.lit("unknown")
+    best = F.lit(0.0)
+    for lang in LANG_MARKERS:  # later langs win only on strictly greater
+        result = F.when(scores[lang] > best, F.lit(lang)).otherwise(result)
+        best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
+    return result
+
+
+def lang_id_sql(c: str) -> str:
+    s = lang_scores_sql(c)
+    # same fold as lang_id(): strictly-greater chain in declaration order
+    expr_r, expr_b = "'unknown'", "0.0"
+    for lang in LANG_MARKERS:
+        expr_r = f"CASE WHEN ({s[lang]}) > ({expr_b}) THEN '{lang}' ELSE {expr_r} END"
+        expr_b = f"CASE WHEN ({s[lang]}) > ({expr_b}) THEN ({s[lang]}) ELSE {expr_b} END"
+    return expr_r
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: alpha-heavy, some length,
+    not all digits/punct. quality = 0.6*alpha_ratio + 0.4*min(tokens,64)/64."""
+    alpha = char_class_ratio(col, ALPHA_REGEX)
+    toks = token_count(col)
+    return F.round(alpha * 0.6 + F.least(toks, F.lit(64)) / 64.0 * 0.4, 6)
+
+
+def quality_score_sql(c: str) -> str:
+    alpha = char_class_ratio_sql(c, ALPHA_REGEX)
+    toks = TOKEN_COUNT_SQL.format(c=c)
+    return f"round(({alpha}) * 0.6 + least(({toks}), 64) / 64.0 * 0.4, 6)"
+
+
+def normalized_text(col: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+NORMALIZED_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint = md5 hex of normalized text."""
+    return F.md5(F.encode(normalized_text(col), "UTF-8"))
+
+
+FINGERPRINT_SQL = "md5(" + NORMALIZED_SQL + ")"
+
+
+# 4-level string match (doctr/utils/metrics.py:23-41 semantics: raw,
+# caseless, unidecode, unicase; the two ascii-fold levels need a
+# transliteration table — here folded to upper-bound caseless for ascii)
+def string_match(a: Column, b: Column) -> tuple[Column, Column]:
+    raw = (a == b).cast("int")
+    caseless = (F.lower(a) == F.lower(b)).cast("int")
+    return raw, caseless

@@ -1,0 +1,223 @@
+"""Deduplication operators for web-scale corpora.
+
+- exact dedup          : hash-groupBy on a normalized fingerprint (pure SQL)
+- n-gram Jaccard       : relational shingle join (pure SQL, oracle-checkable)
+- MinHash + LSH        : signature pandas-UDF -> band explode -> bucket join
+- SimHash              : 64-bit weighted token hash + bit_count(xor) distance
+
+Scale notes: the shingle join and LSH bucket join are the shuffle-heavy
+paths; both shuffle only (id, shingle/band) pairs — never document bodies.
+Candidate verification re-joins bodies by id. Band/bucket grouping keys are
+high-cardinality, so AQE skew handling plus the banding parameters keep
+partitions bounded. No driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, normalized_text
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of exact duplicates (normalized): fingerprint, member ids,
+    group size. One shuffle on the 16-byte fingerprint, map-side combined."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def distinct_by_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the smallest id per fingerprint (deterministic survivor)."""
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+
+
+def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, ngram) distinct word n-grams via posexplode + lead windows —
+    fully relational, so the DuckDB oracle can mirror it."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias("pos", "w"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    cols = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+    return (
+        words.select("id", F.concat_ws(" ", *cols).alias("ngram"), *[cols[-1].alias("_last")])
+        .filter(F.col("_last").isNotNull())
+        .select("id", "ngram")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, sim >= threshold).
+
+    Quadratic in the worst case; the shingle equi-join bounds it to pairs
+    sharing at least one n-gram. At 100 TB you'd front this with MinHash
+    LSH (below) and use this as the verify stage on candidates only.
+    """
+    grams = word_ngrams(df, id_col, text_col, n).cache()
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"), "ngram")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- MinHash/LSH
+
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_PRIME, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MINHASH_PRIME, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
+    t = " ".join(text.lower().split())
+    if len(t) < shingle:
+        return np.array([zlib.crc32(t.encode())], dtype=np.int64)
+    views = {zlib.crc32(t[i : i + shingle].encode()) for i in range(len(t) - shingle + 1)}
+    return np.fromiter(views, dtype=np.int64)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle: int = 5
+) -> DataFrame:
+    """(id, sig array<long>) MinHash signatures over char shingles.
+    Arrow-batched; (a*x+b) mod p permutation family, seeded."""
+    a, b = _minhash_params(num_hashes)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col].astype(str):
+                x = _shingle_hashes(text, shingle)
+                # (num_hashes, n_shingles) via int64 object math mod prime
+                vals = (np.outer(a, x).astype(object) + b[:, None]) % MINHASH_PRIME
+                sigs.append(vals.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({"id": pdf[id_col].values, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema="id long, sig array<long>")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signatures and bucket-join: pairs sharing >=1 band bucket."""
+    n_hashes_col = F.size("sig")
+    rows_per_band = (n_hashes_col / bands).cast("int")
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(F.concat_ws(",", F.slice("sig", i * rows_per_band + 1, rows_per_band)), i),
+            )
+        ).alias("band", "bucket"),
+    )
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified by signature-estimated Jaccard >= threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes).cache()
+    cands = lsh_candidate_pairs(sigs, bands)
+    est = (
+        cands.join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+        .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda v: v))
+                / F.size("sig_a"),
+                6,
+            ),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+
+
+# -------------------------------------------------------------------- SimHash
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash long): 64-bit SimHash over word tokens (crc32-seeded
+    two-way hash for 64 bits, +/-1 bit votes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col].astype(str):
+                votes = np.zeros(64, dtype=np.int64)
+                shifts = np.arange(64, dtype=np.uint64)
+                for tok in set(text.lower().split()):
+                    h = np.uint64(zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode() + b"#") << 32))
+                    bits = (h >> shifts) & np.uint64(1)
+                    votes += np.where(bits > 0, 1, -1)
+                sh = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+                out.append(np.int64(np.uint64(sh)))  # wrap to signed for LongType
+            yield pd.DataFrame({"id": pdf[id_col].values, "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema="id long, simhash long")
+
+
+def simhash_near_duplicates(hashes: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming, blocked on the
+    top prefix bits (a hot-prefix block is the classic skew point — AQE
+    skew-join plus narrower prefixes handle it at scale)."""
+    blocked = hashes.withColumn("block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    return (
+        blocked.alias("x")
+        .join(blocked.alias("y"), "block")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .withColumn("hamming", F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "hamming")
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis / dedup / similarity operator tests (Spark-side)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from doctr_spark.functions.text import (
+    char_class_ratio,
+    ALPHA_REGEX,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from doctr_spark.operators.dedup import (
+    exact_duplicates,
+    distinct_by_fingerprint,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash64,
+    simhash_near_duplicates,
+)
+from doctr_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "THE  quick Brown fox jumps over the lazy dog again and again today"),  # caseless/ws dup of 1
+        (3, "the quick brown fox jumps over the lazy cat again and again today"),  # near-dup of 1
+        (4, "der hund und die katze und der vogel und die maus"),
+        (5, "completely different content about spark shuffles and partitions"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count_and_ratios(spark, docs):
+    out = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("toks"),
+        char_class_ratio(F.col("text"), ALPHA_REGEX).alias("alpha"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["toks"] == 13
+    assert by_id[6]["toks"] == 0
+    assert by_id[6]["alpha"] == 0.0
+    assert 0.7 < by_id[1]["alpha"] < 0.9
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[4] == "de"
+    assert out[6] == "unknown"
+
+
+def test_quality_score_bounds(spark, docs):
+    vals = [r["q"] for r in docs.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_exact_dedup(spark, docs):
+    dups = exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(dups) == 1
+    assert dups[0]["ids"] == [1, 2]
+    kept = distinct_by_fingerprint(docs, "doc_id", "text")
+    assert kept.count() == 5
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4, 5, 6}
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after normalization
+    assert (1, 3) in pairs and 0.2 <= pairs[(1, 3)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_minhash_deterministic_and_neardup(spark, docs):
+    sigs1 = {r["id"]: list(r["sig"]) for r in minhash_signatures(docs, "doc_id", "text").collect()}
+    sigs2 = {r["id"]: list(r["sig"]) for r in minhash_signatures(docs, "doc_id", "text").collect()}
+    assert sigs1 == sigs2  # deterministic
+    assert sigs1[1] == sigs1[2]  # identical normalized text -> identical signature
+    nd = {(r["id_a"], r["id_b"]) for r in minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 2) in nd
+    assert (1, 3) in nd  # single-word change keeps most shingles
+    assert (4, 5) not in nd
+
+
+def test_simhash(spark, docs):
+    hashes = simhash64(docs, "doc_id", "text").cache()
+    vals = {r["id"]: r["simhash"] for r in hashes.collect()}
+    assert vals[1] == vals[2]  # same token set
+    nd = simhash_near_duplicates(hashes, max_hamming=8, prefix_bits=4)
+    got = {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    assert (1, 2) in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # 1 ~ 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 2)
+    out = cosine_topk(vectors, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["sim"]))
+    assert sorted(by_q[0])[0][1] == 1  # nearest neighbor of 0 is its copy
+    assert sorted(by_q[1])[0][1] == 0
+    assert all(len(v) == 3 for v in by_q.values())
+
+
+def test_ann_lsh_finds_copy(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = ann_lsh_topk(vectors, queries, k=3, n_planes=6, dim=16, n_tables=3).collect()
+    assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in out)
+
+
+def test_fingerprint_matches_duckdb(spark, docs):
+    import duckdb
+
+    got = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    pdf = docs.toPandas()
+    for _, row in pdf.iterrows():
+        expected = duckdb.sql(
+            "select md5(trim(regexp_replace(lower(?), '\\s+', ' ', 'g')))", params=[row["text"]]
+        ).fetchone()[0]
+        assert got[row["doc_id"]] == expected
