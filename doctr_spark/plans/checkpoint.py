@@ -1,0 +1,104 @@
+"""Resumable extraction: per-bucket checkpointing with a lineage/metrics
+sidecar table (semantics the reference lacks entirely — SURVEY.md §4.3).
+
+Design: conversations hash into ``buckets`` deterministic buckets
+(pmod(xxhash64(conv_id))). Each bucket is extracted and written as its own
+partition directory; a manifest (sidecar) table records one row per
+completed bucket with extraction metrics (turns, boxes, chars, strip
+ratio). A restart anti-joins the manifest: only unfinished buckets run.
+
+At 100 TB the same layout holds: buckets are the unit of retry/lineage
+(O(100-1000) of them), each bucket write is a normal distributed job, and
+the input scan for bucket b is pruned by predicate pushdown when the
+source table is bucketed/partitioned by the same key — on plain parquet
+it degrades to a full-scan filter per bucket, which is why bucket counts
+should stay coarse."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import extract_turns
+
+MANIFEST_SCHEMA = (
+    "bucket int, n_turns long, n_convs long, n_boxes long, n_chars long, "
+    "avg_strip_ratio double, status string, completed_ts timestamp"
+)
+
+
+def with_bucket(df: DataFrame, buckets: int) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets)).cast("int"))
+
+
+def completed_buckets(spark: SparkSession, manifest_dir: str) -> set[int]:
+    if not os.path.exists(manifest_dir):
+        return set()
+    try:
+        rows = spark.read.parquet(manifest_dir).filter(F.col("status") == "done").select("bucket").collect()
+    except Exception:
+        return set()
+    return {r["bucket"] for r in rows}
+
+
+def run_extraction_checkpointed(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    buckets: int = 8,
+    max_buckets_this_run: int | None = None,
+) -> dict:
+    """Extract all turns, bucket by bucket, resuming past completed buckets.
+
+    ``max_buckets_this_run`` lets tests simulate an interrupted run.
+    Returns a summary dict.
+    """
+    results_dir = os.path.join(out_dir, "results")
+    manifest_dir = os.path.join(out_dir, "manifest")
+    done = completed_buckets(spark, manifest_dir)
+    bucketed = with_bucket(transcripts, buckets)
+
+    processed = []
+    for b in range(buckets):
+        if b in done:
+            continue
+        if max_buckets_this_run is not None and len(processed) >= max_buckets_this_run:
+            break
+        part = bucketed.filter(F.col("bucket") == b).drop("bucket")
+        res = extract_turns(part)
+        res.write.mode("overwrite").parquet(os.path.join(results_dir, f"bucket={b}"))
+        written = spark.read.parquet(os.path.join(results_dir, f"bucket={b}"))
+        metrics = written.agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum("n_boxes").alias("n_boxes"),
+            F.sum("n_chars").alias("n_chars"),
+            F.avg("strip_ratio").alias("avg_strip_ratio"),
+        ).collect()[0]
+        manifest_row = spark.createDataFrame(
+            [
+                (
+                    b,
+                    metrics["n_turns"],
+                    metrics["n_convs"],
+                    metrics["n_boxes"] or 0,
+                    metrics["n_chars"] or 0,
+                    float(metrics["avg_strip_ratio"] or 1.0),
+                    "done",
+                )
+            ],
+            "bucket int, n_turns long, n_convs long, n_boxes long, n_chars long, avg_strip_ratio double, status string",
+        ).withColumn("completed_ts", F.current_timestamp())
+        manifest_row.write.mode("append").parquet(manifest_dir)
+        processed.append(b)
+
+    remaining = buckets - len(done) - len(processed)
+    return {"processed": processed, "skipped": sorted(done), "remaining": remaining}
+
+
+def read_extraction_results(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.option("basePath", os.path.join(out_dir, "results")).parquet(
+        os.path.join(out_dir, "results")
+    )
