@@ -1,0 +1,737 @@
+"""Driver-contract queries: each operator exposed as a (spark, sf_dir) ->
+DataFrame callable with (where expressible) an exactly-equivalent DuckDB
+SQL oracle.
+
+Two oracle styles:
+- kernel queries: fixed fixture inputs -> the Spark side runs the kernel
+  inside mapInPandas (distributed), the oracle is a literal VALUES table of
+  the published/spec-derived expected outputs.
+- relational queries: both sides compute the same derivation over the
+  driver's parquet tables (lineitem/orders/events/documents/embeddings).
+
+Column names/types are aligned on both sides; float outputs are rounded
+identically before comparison.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+# --------------------------------------------------------------- sql helpers
+
+
+def sql_str(s: str) -> str:
+    """DuckDB e-string literal for text that may contain newlines/quotes."""
+    esc = s.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
+    return f"e'{esc}'"
+
+
+def values_oracle(rows: list[tuple], columns: list[tuple[str, str]]) -> str:
+    """Build `SELECT CAST(...) ... FROM (VALUES ...)` oracle SQL.
+    columns: [(name, duckdb_type)]; strings are e-string escaped."""
+    rendered = []
+    for row in rows:
+        cells = []
+        for v, (_, typ) in zip(row, columns):
+            if v is None:
+                cells.append("NULL")
+            elif typ == "VARCHAR":
+                cells.append(sql_str(str(v)))
+            elif typ == "BIGINT":
+                cells.append(str(int(v)))
+            elif typ == "DOUBLE":
+                cells.append(repr(float(v)))
+            else:
+                raise ValueError(typ)
+        rendered.append("(" + ", ".join(cells) + ")")
+    collist = ", ".join(name for name, _ in columns)
+    casts = ", ".join(f"CAST({name} AS {typ}) AS {name}" for name, typ in columns)
+    return f"SELECT {casts} FROM (VALUES {', '.join(rendered)}) AS t({collist})"
+
+
+# ================================================================ kernels ===
+
+# ---- merge_strings (expected values published in the reference test suite:
+#      tests/common/test_models_recognition_utils.py:6-31)
+MERGE_FIXTURES = [
+    ("abc", "def", "abcdef"),
+    ("abcd", "def", "abcdef"),
+    ("abcde", "def", "abcdef"),
+    ("abcdef", "def", "abcdef"),
+    ("abcccc", "cccccc", "abcccccccc"),
+    ("abc", "", "abc"),
+    ("", "abc", "abc"),
+]
+
+
+def q_merge_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recognition import merge_strings
+
+    src = spark.createDataFrame([(a, b) for a, b, _ in MERGE_FIXTURES], "a string, b string")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf["merged"] = [merge_strings(a, b, 1.4) for a, b in zip(pdf["a"], pdf["b"])]
+            yield pdf
+
+    return src.mapInPandas(run, "a string, b string, merged string")
+
+
+MERGE_ORACLE = values_oracle(
+    MERGE_FIXTURES, [("a", "VARCHAR"), ("b", "VARCHAR"), ("merged", "VARCHAR")]
+)
+
+# ---- CTC best-path decode (semantics: crnn ctc_best_path; fixture paths are
+#      index sequences whose argmax path is forced one-hot)
+CTC_FIXTURES = [
+    # (case_id, index path with blank=-1, expected word) over vocab "HELO"
+    (1, [0, 0, 1, -1, 2, 2, -1, 2, 3], "HELLO"),
+    (2, [-1, -1, -1], ""),
+    (3, [3, -1, 3, -1, 3], "OOO"),
+    (4, [0, 1, 2, 3], "HELO"),
+]
+CTC_VOCAB = "HELO"
+
+
+def q_ctc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recognition import ctc_best_path
+
+    src = spark.createDataFrame(
+        [(cid, json.dumps(path)) for cid, path, _ in CTC_FIXTURES], "case_id long, path string"
+    )
+    blank = len(CTC_VOCAB)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            words = []
+            for path_json in pdf["path"]:
+                path = [blank if k < 0 else k for k in json.loads(path_json)]
+                logits = np.full((len(path), blank + 1), 0.0)
+                for t, k in enumerate(path):
+                    logits[t, k] = 8.0
+                words.append(ctc_best_path(logits, CTC_VOCAB)[0][0])
+            yield pd.DataFrame({"case_id": pdf["case_id"], "word": words})
+
+    return src.mapInPandas(run, "case_id long, word string")
+
+
+CTC_ORACLE = values_oracle(
+    [(cid, w) for cid, _, w in CTC_FIXTURES], [("case_id", "BIGINT"), ("word", "VARCHAR")]
+)
+
+# ---- HTML main-content strip
+HTML_FIXTURES = [
+    (1, "<div>only</div>", "only"),
+    (2, "<p>a</p><p>b</p>", "a\n\nb"),
+    (3, "<p>one<br>two</p>", "one\ntwo"),
+    (4, "<ul><li>x</li><li>y</li></ul>", "x\ny"),
+    (5, "<div>Hi &amp; bye</div>", "Hi & bye"),
+    (6, "<nav>menu</nav><header>h</header><p>content</p><footer>f</footer>", "content"),
+    (7, "<div><script>var x=1;</script><style>p{}</style>keep</div>", "keep"),
+    (8, "<!-- c --><p>spaced   words\n here</p><aside>ads</aside>", "spaced words here"),
+    (9, "<p>a <b>bold</b> word</p>", "a bold word"),
+    (10, "<html><head><title>t</title></head><body><div><p>p1</p><p>p2</p></div></body></html>", "p1\n\np2"),
+]
+
+
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.html import extract_main_text
+
+    src = spark.createDataFrame(
+        [(cid, h) for cid, h, _ in HTML_FIXTURES], "case_id long, html string"
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {"case_id": pdf["case_id"], "main_text": [extract_main_text(h) for h in pdf["html"]]}
+            )
+
+    return src.mapInPandas(run, "case_id long, main_text string")
+
+
+HTML_ORACLE = values_oracle(
+    [(cid, exp) for cid, _, exp in HTML_FIXTURES], [("case_id", "BIGINT"), ("main_text", "VARCHAR")]
+)
+
+# ---- reading-order sort + line resolution (expected values are the
+#      reference's own published fixtures, tests/common/test_models_builder.py:185-230)
+SORT_FIXTURES = [
+    (1, [[0, 0.5, 0.1, 0.6], [0, 0.3, 0.2, 0.4], [0, 0, 0.1, 0.1]], [2, 1, 0]),
+    (2, [[0.7, 0.5, 0.85, 0.6], [0.2, 0.3, 0.4, 0.4], [0, 0, 0.1, 0.1]], [2, 1, 0]),
+    (3, [[0, 0.5, 0.1, 0.6], [0.15, 0.5, 0.25, 0.6], [0.5, 0.5, 0.6, 0.6]], [0, 1, 2]),
+    (4, [[0, 0.5, 0.1, 0.6], [0.2, 0.49, 0.35, 0.59], [0.8, 0.52, 0.9, 0.63]], [0, 1, 2]),
+    (5, [[0, 0.3, 0.4, 0.45], [0.5, 0.28, 0.75, 0.42], [0, 0.45, 0.1, 0.55]], [0, 1, 2]),
+    (6, [[0, 0.3, 0.4, 0.35], [0.75, 0.28, 0.95, 0.42], [0, 0.45, 0.1, 0.55]], [0, 1, 2]),
+]
+LINE_FIXTURES = [
+    (1, [[0, 0.5, 0.1, 0.6], [0, 0.3, 0.2, 0.4], [0, 0, 0.1, 0.1]], [[2], [1], [0]]),
+    (2, [[0.7, 0.5, 0.85, 0.6], [0.2, 0.3, 0.4, 0.4], [0, 0, 0.1, 0.1]], [[2], [1], [0]]),
+    (3, [[0, 0.5, 0.14, 0.6], [0.15, 0.5, 0.25, 0.6], [0.5, 0.5, 0.6, 0.6]], [[0, 1], [2]]),
+    (4, [[0, 0.5, 0.18, 0.6], [0.2, 0.48, 0.35, 0.58], [0.8, 0.52, 0.9, 0.63]], [[0, 1], [2]]),
+    (5, [[0, 0.3, 0.48, 0.45], [0.5, 0.28, 0.75, 0.42], [0, 0.45, 0.1, 0.55]], [[0, 1], [2]]),
+    (6, [[0, 0.3, 0.4, 0.35], [0.75, 0.28, 0.95, 0.42], [0, 0.45, 0.1, 0.55]], [[0], [1], [2]]),
+]
+
+
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.builder import sort_boxes
+
+    src = spark.createDataFrame(
+        [(cid, json.dumps(b)) for cid, b, _ in SORT_FIXTURES], "case_id long, boxes string"
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            orders = [
+                ",".join(map(str, sort_boxes(np.asarray(json.loads(b)))[0].tolist()))
+                for b in pdf["boxes"]
+            ]
+            yield pd.DataFrame({"case_id": pdf["case_id"], "order_csv": orders})
+
+    return src.mapInPandas(run, "case_id long, order_csv string")
+
+
+SORT_ORACLE = values_oracle(
+    [(cid, ",".join(map(str, o))) for cid, _, o in SORT_FIXTURES],
+    [("case_id", "BIGINT"), ("order_csv", "VARCHAR")],
+)
+
+
+def q_resolve_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.builder import resolve_lines
+
+    src = spark.createDataFrame(
+        [(cid, json.dumps(b)) for cid, b, _ in LINE_FIXTURES], "case_id long, boxes string"
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lines = [
+                json.dumps(resolve_lines(np.asarray(json.loads(b)))) for b in pdf["boxes"]
+            ]
+            yield pd.DataFrame({"case_id": pdf["case_id"], "lines_json": lines})
+
+    return src.mapInPandas(run, "case_id long, lines_json string")
+
+
+LINES_ORACLE = values_oracle(
+    [(cid, json.dumps(ln)) for cid, _, ln in LINE_FIXTURES],
+    [("case_id", "BIGINT"), ("lines_json", "VARCHAR")],
+)
+
+# ---- detection postprocess on synthetic proba maps; expected boxes derived
+#      analytically from the documented spec (component bbox + score = fg,
+#      unclip d = area*ratio/perimeter with floor/ceil rounding, rel clip)
+DETECT_FIXTURES = [
+    # (case_id, H, W, [(x0, y0, x1_excl, y1_excl)], fg)
+    (1, 100, 200, [(10, 10, 60, 30)], 0.9),
+    (2, 80, 120, [(5, 40, 45, 60), (70, 10, 110, 35)], 0.8),
+    (3, 60, 60, [(0, 0, 30, 30)], 0.95),
+]
+
+
+def _expected_detect_rows() -> list[tuple]:
+    import math
+
+    rows = []
+    for cid, h, w, rects, fg in DETECT_FIXTURES:
+        boxes = []
+        for x0, y0, x1e, y1e in rects:
+            bw, bh = x1e - x0, y1e - y0
+            d = bw * bh * 1.5 / (2.0 * (bw + bh))
+            ex0 = math.floor(x0 - d)
+            ey0 = math.floor(y0 - d)
+            ex1 = math.ceil((x1e - 1) + d)
+            ey1 = math.ceil((y1e - 1) + d)
+            boxes.append(
+                (
+                    max(0.0, ex0 / w),
+                    max(0.0, ey0 / h),
+                    min(1.0, (ex1 + 1) / w),
+                    min(1.0, (ey1 + 1) / h),
+                    fg,
+                )
+            )
+        # output order: raster order of topmost run = sort by (y0, x0)
+        order = sorted(range(len(rects)), key=lambda i: (rects[i][1], rects[i][0]))
+        for idx, i in enumerate(order):
+            b = boxes[i]
+            rows.append((cid, idx, round(b[0], 6), round(b[1], 6), round(b[2], 6), round(b[3], 6), round(b[4], 6)))
+    return rows
+
+
+def q_detect_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.detection import postprocess_proba_map
+
+    src = spark.createDataFrame(
+        [(cid, h, w, json.dumps(r), fg) for cid, h, w, r, fg in DETECT_FIXTURES],
+        "case_id long, h long, w long, rects string, fg double",
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for cid, h, w, rects_json, fg in zip(pdf["case_id"], pdf["h"], pdf["w"], pdf["rects"], pdf["fg"]):
+                proba = np.full((int(h), int(w)), 0.05)
+                for x0, y0, x1e, y1e in json.loads(rects_json):
+                    proba[y0:y1e, x0:x1e] = fg
+                boxes = postprocess_proba_map(proba)
+                for idx, b in enumerate(boxes):
+                    out.append(
+                        {
+                            "case_id": cid,
+                            "box_idx": idx,
+                            "xmin": round(b[0], 6),
+                            "ymin": round(b[1], 6),
+                            "xmax": round(b[2], 6),
+                            "ymax": round(b[3], 6),
+                            "score": round(b[4], 6),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        run,
+        "case_id long, box_idx long, xmin double, ymin double, xmax double, ymax double, score double",
+    )
+
+
+DETECT_ORACLE = values_oracle(
+    _expected_detect_rows(),
+    [
+        ("case_id", "BIGINT"),
+        ("box_idx", "BIGINT"),
+        ("xmin", "DOUBLE"),
+        ("ymin", "DOUBLE"),
+        ("xmax", "DOUBLE"),
+        ("ymax", "DOUBLE"),
+        ("score", "DOUBLE"),
+    ],
+)
+
+# ---- render joins
+RENDER_FIXTURES = [
+    (1, [[["hello", "world"]]], "hello world"),
+    (2, [[["a", "b"], ["c"]]], "a b\nc"),
+    (3, [[["a"]], [["b"]]], "a\n\nb"),
+]
+
+
+def q_render_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.render import render_page
+
+    src = spark.createDataFrame(
+        [(cid, json.dumps(blocks)) for cid, blocks, _ in RENDER_FIXTURES],
+        "case_id long, blocks string",
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "case_id": pdf["case_id"],
+                    "rendered": [render_page(json.loads(b)) for b in pdf["blocks"]],
+                }
+            )
+
+    return src.mapInPandas(run, "case_id long, rendered string")
+
+
+RENDER_ORACLE = values_oracle(
+    [(cid, exp) for cid, _, exp in RENDER_FIXTURES],
+    [("case_id", "BIGINT"), ("rendered", "VARCHAR")],
+)
+
+
+# ============================================================ relational ===
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from ..functions.text import (  # noqa: E402
+    ALPHA_REGEX,
+    DIGIT_REGEX,
+    FINGERPRINT_SQL,
+    TOKEN_COUNT_SQL,
+    char_class_ratio,
+    char_class_ratio_sql,
+    fingerprint,
+    lang_id,
+    lang_id_sql,
+    quality_score,
+    quality_score_sql,
+    token_count,
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---- derived boxes from lineitem: a deterministic rational-arithmetic
+#      derivation both engines compute identically
+def _boxes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_suppkey") % 20).cast("long").alias("page"),
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("lineno"),
+        ((F.col("l_partkey") % 90) / 100.0).alias("xmin"),
+        ((F.col("l_orderkey") % 90) / 100.0).alias("ymin"),
+        ((F.col("l_partkey") % 90) / 100.0 + (F.col("l_quantity") % 9 + 1) / 100.0).alias("xmax"),
+        ((F.col("l_orderkey") % 90) / 100.0 + (F.col("l_linenumber") % 9 + 1) / 100.0).alias("ymax"),
+    )
+
+
+_BOXES_CTE = """
+boxes AS (
+  SELECT CAST(l_suppkey % 20 AS BIGINT) AS page,
+         CAST(l_orderkey AS BIGINT) AS okey,
+         CAST(l_linenumber AS BIGINT) AS lineno,
+         (l_partkey % 90) / 100.0 AS xmin,
+         (l_orderkey % 90) / 100.0 AS ymin,
+         (l_partkey % 90) / 100.0 + (l_quantity % 9 + 1) / 100.0 AS xmax,
+         (l_orderkey % 90) / 100.0 + (l_linenumber % 9 + 1) / 100.0 AS ymax
+  FROM lineitem
+)"""
+
+
+def q_sort_key_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reading-order rank by the builder sort key (xmin + 2*ymax/median_h)
+    over lineitem-derived boxes, per page group."""
+    boxes = _boxes_df(spark, sf_dir)
+    med = boxes.groupBy("page").agg(F.expr("median(ymax - ymin)").alias("med_h"))
+    keyed = boxes.join(med, "page").withColumn("k", F.col("xmin") + 2 * F.col("ymax") / F.col("med_h"))
+    w = Window.partitionBy("page").orderBy("k", "okey", "lineno")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select("page", "okey", "lineno", "rank")
+    )
+
+
+SORT_KEY_RANK_ORACLE = f"""
+WITH {_BOXES_CTE},
+med AS (SELECT page, median(ymax - ymin) AS med_h FROM boxes GROUP BY page),
+keyed AS (
+  SELECT b.page, b.okey, b.lineno,
+         b.xmin + 2 * b.ymax / m.med_h AS k
+  FROM boxes b JOIN med m USING (page)
+)
+SELECT page, okey, lineno,
+       CAST(row_number() OVER (PARTITION BY page ORDER BY k, okey, lineno) AS BIGINT) AS rank
+FROM keyed
+QUALIFY rank <= 50
+"""
+
+
+def q_enclosing_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page enclosing bbox (resolve_enclosing_bbox as a plain SQL agg)."""
+    return (
+        _boxes_df(spark, sf_dir)
+        .groupBy("page")
+        .agg(
+            F.round(F.min("xmin"), 6).alias("xmin"),
+            F.round(F.min("ymin"), 6).alias("ymin"),
+            F.round(F.max("xmax"), 6).alias("xmax"),
+            F.round(F.max("ymax"), 6).alias("ymax"),
+            F.count("*").alias("n_boxes"),
+        )
+    )
+
+
+ENCLOSING_BBOX_ORACLE = f"""
+WITH {_BOXES_CTE}
+SELECT page, round(min(xmin), 6) AS xmin, round(min(ymin), 6) AS ymin,
+       round(max(xmax), 6) AS xmax, round(max(ymax), 6) AS ymax,
+       count(*) AS n_boxes
+FROM boxes GROUP BY page
+"""
+
+
+def q_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based 1-D clustering (the _resolve_sub_lines split rule applied
+    to event time): new session when gap > 1800s; per-user session stats."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    sess = (
+        ev.withColumn("gap", F.col("t") - F.lag("t").over(w))
+        .withColumn("brk", F.when(F.col("gap") > 1800, 1).otherwise(0))
+        .withColumn("session_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("t").alias("t_start"),
+        F.max("t").alias("t_end"),
+    )
+
+
+GAP_SESSIONIZE_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+),
+marked AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+sess AS (
+  SELECT user_id, t,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events, min(t) AS t_start, max(t) AS t_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_line_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-stable string_agg: per order, part tokens joined ' ' in
+    linenumber order (the Line.render() invariant, relationally)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.concat(F.lit("P"), (F.col("l_partkey") % 1000).cast("string")).alias("tok"),
+    )
+    pairs = F.array_sort(F.collect_list(F.struct(F.col("lineno").alias("o"), F.col("tok").alias("v"))))
+    return li.groupBy("okey").agg(
+        F.array_join(F.transform(pairs, lambda s: s["v"]), " ").alias("line_text"),
+        F.count("*").alias("n_words"),
+    )
+
+
+LINE_RENDER_ORACLE = """
+SELECT CAST(l_orderkey AS BIGINT) AS okey,
+       string_agg('P' || CAST(l_partkey % 1000 AS VARCHAR), ' ' ORDER BY l_linenumber, 'P' || CAST(l_partkey % 1000 AS VARCHAR)) AS line_text,
+       count(*) AS n_words
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable per-key ordering rank (the Window.partitionBy(conv).orderBy(turn)
+    invariant) on events: first 5 events per user."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+TURN_ORDER_ORACLE = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+FROM events QUALIFY rn <= 5
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per type by value (window top-k pattern)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "event_id", "rank", "value")
+    )
+
+
+TOPK_ORACLE = """
+SELECT event_type, event_id,
+       CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rank,
+       value
+FROM events QUALIFY rank <= 3
+"""
+
+
+def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup per event type (order-independent aggs only)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+
+
+HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n, round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        char_class_ratio(F.col("text"), ALPHA_REGEX).alias("alpha_ratio"),
+        char_class_ratio(F.col("text"), DIGIT_REGEX).alias("digit_ratio"),
+    )
+
+
+TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST({TOKEN_COUNT_SQL.format(c="text")} AS BIGINT) AS n_tokens,
+       {char_class_ratio_sql("text", ALPHA_REGEX)} AS alpha_ratio,
+       {char_class_ratio_sql("text", DIGIT_REGEX)} AS digit_ratio
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return docs.select(
+        "doc_id", q.alias("quality"), (q >= 0.5).cast("int").cast("long").alias("is_quality")
+    )
+
+
+QUALITY_ORACLE = f"""
+SELECT doc_id, {quality_score_sql("text")} AS quality,
+       CAST(CASE WHEN {quality_score_sql("text")} >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
+
+
+LANG_ID_ORACLE = f"""
+SELECT doc_id, lang, {lang_id_sql("text")} AS pred_lang FROM documents
+"""
+
+
+def q_string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_match levels (raw/caseless) between text and its uppercased
+    variant, aggregated (TextMatch-style accumulator)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        (F.col("text") == F.upper(F.col("text"))).cast("int").alias("raw"),
+        (F.lower(F.col("text")) == F.lower(F.upper(F.col("text")))).cast("int").alias("caseless"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("raw").cast("long").alias("n_raw_match"),
+        F.sum("caseless").cast("long").alias("n_caseless_match"),
+    )
+
+
+STRING_MATCH_ORACLE = """
+SELECT count(*) AS n,
+       CAST(sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_raw_match,
+       CAST(sum(CASE WHEN lower(text) = lower(upper(text)) THEN 1 ELSE 0 END) AS BIGINT) AS n_caseless_match
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+FINGERPRINT_ORACLE = f"SELECT doc_id, {FINGERPRINT_SQL.format(c='text')} AS fp FROM documents"
+
+
+def q_exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    fps = docs.select(fingerprint(F.col("text")).alias("fp"))
+    return fps.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_dup_rows"),
+    )
+
+
+EXACT_DEDUP_ORACLE = f"""
+WITH fps AS (SELECT {FINGERPRINT_SQL.format(c='text')} AS fp FROM documents)
+SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+       count(*) - count(DISTINCT fp) AS n_dup_rows
+FROM fps
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard pairs over doc_id<100 (the verify stage of
+    near-dup dedup, fully relational on both sides)."""
+    from ..operators.dedup import jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.01)
+
+
+JACCARD_ORACLE = """
+WITH docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < 100
+),
+words AS (
+  SELECT id, unnest(str_split(norm, ' ')) AS w,
+         generate_subscripts(str_split(norm, ' '), 1) AS pos
+  FROM docs
+),
+grams AS (
+  SELECT DISTINCT id, w || ' ' || lead(w, 1) OVER (PARTITION BY id ORDER BY pos)
+                    || ' ' || lead(w, 2) OVER (PARTITION BY id ORDER BY pos) AS ngram
+  FROM words
+  QUALIFY lead(w, 2) OVER (PARTITION BY id ORDER BY pos) IS NOT NULL
+),
+sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b USING (ngram)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+       round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.01
+"""
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors."""
+    from ..operators.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 4).alias("sim"))
+
+
+KNN_ORACLE = """
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS sim
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+       round(sim, 4) AS sim
+FROM scored QUALIFY rank <= 5
+"""
