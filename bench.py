@@ -1,0 +1,170 @@
+"""Benchmark suite: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "bench_suite_total", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "extraction": {turns, sec, turns_per_sec, exact_match_ratio},
+   "scaling": {cores_lo, cores_hi, tps_lo, tps_hi, efficiency}}
+
+The "scaling" block is the sandbox evidence for the north rule's
+two-cluster-size criterion: the same extraction job runs at two local
+parallelism levels (N and 4N cores) on identical input; efficiency =
+(tps_hi / tps_lo) / (cores_hi / cores_lo).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+BENCH_TMP = os.environ.get("DOCTR_SPARK_BENCH_TMP", "/tmp/doctr_spark_bench")
+# corpus sized so the 32-core extraction leg runs ~10s (startup excluded)
+N_CONVS = int(os.environ.get("DOCTR_SPARK_BENCH_CONVS", "800"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_corpus(spark, corpus_dir: str) -> None:
+    """Materialize the deterministic transcript corpus once (generation —
+    page rendering — is excluded from the timed extraction)."""
+    from doctr_spark.sources.corpus import make_transcripts
+
+    gen = make_transcripts(spark, N_CONVS, partitions=64, long_every=200, long_turns=96)
+    gen.write.mode("overwrite").parquet(corpus_dir)
+
+
+def timed_extraction(spark, corpus_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from doctr_spark.plans.pipeline import extract_turns
+
+    inp = spark.read.parquet(corpus_dir).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    n = inp.count()
+    _noop_write(extract_turns(inp))  # warmup (JIT/codegen/python workers)
+    t0 = time.time()
+    _noop_write(extract_turns(inp))
+    dt = time.time() - t0
+    # correctness alongside throughput: per-turn equality ratio
+    exp = spark.read.parquet(corpus_dir).select("conv_id", "turn_idx", "expected_text")
+    match = (
+        extract_turns(inp)
+        .join(exp, ["conv_id", "turn_idx"])
+        .agg(F.avg((F.col("extracted_text") == F.col("expected_text")).cast("double")))
+        .collect()[0][0]
+    )
+    return {"turns": n, "sec": round(dt, 3), "turns_per_sec": round(n / dt, 1), "exact_match_ratio": match}
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    headline = [
+        "extract_docs",
+        "sort_key_rank",
+        "line_render",
+        "gap_sessionize",
+        "turn_order",
+        "topk_per_group",
+        "hourly_event_stats",
+        "token_stats",
+        "quality_score",
+        "lang_id",
+        "fingerprint",
+        "exact_dedup",
+        "jaccard_pairs",
+        "minhash_neardup",
+        "simhash",
+        "knn_cosine",
+        "ann_lsh",
+    ]
+    out = {}
+    for name in headline:
+        # warmup run amortizes one-time Catalyst/codegen JIT (mirrors the
+        # reference's warmup-then-measure latency protocol, BASELINE.md),
+        # then the timed run measures steady-state execution.
+        _noop_write(qs[name](spark, SF_DIR))
+        t0 = time.time()
+        _noop_write(qs[name](spark, SF_DIR))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def scaling_run(corpus_dir: str, cores: int, repeat: int = 3) -> float:
+    """Extraction throughput at a given parallelism (fresh session).
+
+    The timed input is the corpus unioned ``repeat`` times so the job runs
+    long enough (tens of seconds) that task-scheduling and Python-worker
+    startup overheads stop dominating — the regime that matters at scale."""
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.session import get_spark
+
+    spark = get_spark(cores=cores, app_name=f"bench-scale-{cores}")
+    try:
+        inp = spark.read.parquet(corpus_dir).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        n = inp.count()
+        big = inp
+        for _ in range(repeat - 1):
+            big = big.unionByName(inp)
+        _noop_write(extract_turns(inp))  # warm codegen + python workers
+        t0 = time.time()
+        _noop_write(extract_turns(big))
+        dt = time.time() - t0
+        return n * repeat / dt
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    from doctr_spark.session import get_spark
+
+    corpus_dir = os.path.join(BENCH_TMP, "corpus")
+    result: dict = {"metric": "bench_suite_total", "unit": "sec", "sf": _sf_from_dir(SF_DIR)}
+    total0 = time.time()
+
+    spark = get_spark(cores=CPUS, app_name="doctr-spark-bench")
+    try:
+        build_corpus(spark, corpus_dir)
+        result["extraction"] = timed_extraction(spark, corpus_dir)
+        result["queries"] = run_queries(spark)
+    finally:
+        spark.stop()
+
+    if RUN_SCALING:
+        lo = max(2, CPUS // 4)
+        tps_lo = scaling_run(corpus_dir, lo)
+        tps_hi = scaling_run(corpus_dir, CPUS)
+        result["scaling"] = {
+            "cores_lo": lo,
+            "cores_hi": CPUS,
+            "tps_lo": round(tps_lo, 1),
+            "tps_hi": round(tps_hi, 1),
+            "efficiency": round((tps_hi / tps_lo) / (CPUS / lo), 3),
+        }
+
+    result["value"] = round(time.time() - total0, 3)
+    shutil.rmtree(BENCH_TMP, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,24 +87,24 @@ def lang_scores_sql(c: str) -> dict[str, str]:
 
 def lang_id(col: Column) -> Column:
     """argmax language by marker score; 'unknown' when all scores are 0.
-    Ties break by the fixed language order (greatest-of chain)."""
+    Ties break by the fixed language order. Linear-size expression:
+    best = greatest(scores), then a first-match when-chain — a naive
+    running-max fold doubles the tree per language (exponential codegen)."""
     scores = lang_scores(col)
-    result = F.lit("unknown")
-    best = F.lit(0.0)
-    for lang in LANG_MARKERS:  # later langs win only on strictly greater
-        result = F.when(scores[lang] > best, F.lit(lang)).otherwise(result)
-        best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
-    return result
+    best = F.greatest(*scores.values())
+    out = F.lit("unknown")
+    for lang in reversed(LANG_MARKERS):  # first declared lang wins ties
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("unknown"))
 
 
 def lang_id_sql(c: str) -> str:
     s = lang_scores_sql(c)
-    # same fold as lang_id(): strictly-greater chain in declaration order
-    expr_r, expr_b = "'unknown'", "0.0"
-    for lang in LANG_MARKERS:
-        expr_r = f"CASE WHEN ({s[lang]}) > ({expr_b}) THEN '{lang}' ELSE {expr_r} END"
-        expr_b = f"CASE WHEN ({s[lang]}) > ({expr_b}) THEN ({s[lang]}) ELSE {expr_b} END"
-    return expr_r
+    best = "greatest(" + ", ".join(f"({v})" for v in s.values()) + ")"
+    chain = "'unknown'"
+    for lang in reversed(LANG_MARKERS):
+        chain = f"CASE WHEN ({s[lang]}) = ({best}) THEN '{lang}' ELSE {chain} END"
+    return f"CASE WHEN ({best}) > 0 THEN {chain} ELSE 'unknown' END"
 
 
 def quality_score(col: Column) -> Column:

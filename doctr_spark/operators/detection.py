@@ -32,49 +32,43 @@ MIN_SIZE_BOX = 2
 # ------------------------------------------------------------- morphology
 
 
-def _binary_erode3(m: np.ndarray) -> np.ndarray:
-    """3x3 erosion of a 0/1 array (zero-padded borders)."""
-    p = np.pad(m, 1, mode="constant")
-    out = np.ones_like(m)
-    for dy in (0, 1, 2):
-        for dx in (0, 1, 2):
-            out &= p[dy : dy + m.shape[0], dx : dx + m.shape[1]]
-    return out
+def _window_count(m: np.ndarray, radius: int, axis: int) -> np.ndarray:
+    """Sliding-window sum of width 2*radius+1 along an axis (zero-padded),
+    via cumsum — two passes regardless of radius (memory-bandwidth-friendly;
+    these maps are the hot loop of the extraction UDF)."""
+    n = m.shape[axis]
+    pad_widths = [(0, 0), (0, 0)]
+    pad_widths[axis] = (radius + 1, radius)
+    c = np.cumsum(np.pad(m, pad_widths, mode="constant"), axis=axis, dtype=np.int32)
+    hi = np.take(c, np.arange(2 * radius + 1, 2 * radius + 1 + n), axis=axis)
+    lo = np.take(c, np.arange(0, n), axis=axis)
+    return hi - lo
 
 
-def _binary_dilate3(m: np.ndarray) -> np.ndarray:
-    p = np.pad(m, 1, mode="constant")
-    out = np.zeros_like(m)
-    for dy in (0, 1, 2):
-        for dx in (0, 1, 2):
-            out |= p[dy : dy + m.shape[0], dx : dx + m.shape[1]]
-    return out
+def _dilate_axis(m: np.ndarray, radius: int, axis: int) -> np.ndarray:
+    return (_window_count(m.astype(np.uint8), radius, axis) > 0).astype(np.uint8)
+
+
+def _erode_axis(m: np.ndarray, radius: int, axis: int) -> np.ndarray:
+    return (_window_count(m.astype(np.uint8), radius, axis) == 2 * radius + 1).astype(np.uint8)
 
 
 def binary_open3(m: np.ndarray) -> np.ndarray:
     """3x3 opening (erosion then dilation) — despeckles the bitmap exactly
-    like the reference's cv2.MORPH_OPEN with a 3x3 kernel."""
-    return _binary_dilate3(_binary_erode3(m.astype(np.uint8)))
+    like the reference's cv2.MORPH_OPEN with a 3x3 kernel. Separable:
+    erode rows+cols, then dilate rows+cols."""
+    e = _erode_axis(_erode_axis(m.astype(np.uint8), 1, 0), 1, 1)
+    return _dilate_axis(_dilate_axis(e, 1, 0), 1, 1)
 
 
 def dilate_horizontal(m: np.ndarray, radius: int) -> np.ndarray:
     """Horizontal dilation by ``radius`` px each side (fuses char gaps)."""
-    out = m.astype(bool).copy()
-    p = np.pad(m.astype(bool), ((0, 0), (radius, radius)), mode="constant")
-    for d in range(1, radius + 1):
-        out |= p[:, radius - d : radius - d + m.shape[1]]
-        out |= p[:, radius + d : radius + d + m.shape[1]]
-    return out.astype(np.uint8)
+    return _dilate_axis(m, radius, 1)
 
 
 def dilate_vertical(m: np.ndarray, radius: int) -> np.ndarray:
     """Vertical dilation by ``radius`` px each side."""
-    out = m.astype(bool).copy()
-    p = np.pad(m.astype(bool), ((radius, radius), (0, 0)), mode="constant")
-    for d in range(1, radius + 1):
-        out |= p[radius - d : radius - d + m.shape[0], :]
-        out |= p[radius + d : radius + d + m.shape[0], :]
-    return out.astype(np.uint8)
+    return _dilate_axis(m, radius, 0)
 
 
 # ------------------------------------------------- connected components
@@ -88,23 +82,22 @@ def connected_components(bitmap: np.ndarray) -> list[tuple[int, int, int, int]]:
     """
     h, w = bitmap.shape
     b = bitmap.astype(bool)
-    # runs per row: (row, start, stop_exclusive)
-    runs: list[tuple[int, int, int]] = []
-    row_run_ranges: list[tuple[int, int]] = []  # [start_idx, stop_idx) into runs, per row
-    for y in range(h):
-        row = b[y]
-        start_idx = len(runs)
-        if row.any():
-            d = np.diff(row.astype(np.int8))
-            starts = np.flatnonzero(d == 1) + 1
-            stops = np.flatnonzero(d == -1) + 1
-            if row[0]:
-                starts = np.concatenate(([0], starts))
-            if row[-1]:
-                stops = np.concatenate((stops, [w]))
-            for s, e in zip(starts.tolist(), stops.tolist()):
-                runs.append((y, s, e))
-        row_run_ranges.append((start_idx, len(runs)))
+    # all runs at once: pad each row with zeros, diff over the flat array —
+    # run starts/stops never cross row boundaries (vectorized, no row loop)
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = b
+    d = np.diff(padded.reshape(-1))
+    flat_starts = np.flatnonzero(d == 1) + 1
+    flat_stops = np.flatnonzero(d == -1) + 1
+    rows = flat_starts // (w + 2)
+    starts = flat_starts % (w + 2) - 1
+    stops = flat_stops % (w + 2) - 1
+    runs: list[tuple[int, int, int]] = list(zip(rows.tolist(), starts.tolist(), stops.tolist()))
+    # per-row [start_idx, stop_idx) ranges into runs
+    row_run_ranges: list[tuple[int, int]] = []
+    counts = np.bincount(rows, minlength=h)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    row_run_ranges = [(int(offsets[y]), int(offsets[y + 1])) for y in range(h)]
 
     n = len(runs)
     parent = list(range(n))
@@ -187,16 +180,27 @@ def bitmap_to_boxes(
     box_thresh: float = BOX_THRESH,
     unclip_ratio: float = UNCLIP_RATIO,
     min_size_box: int = MIN_SIZE_BOX,
+    score_mask: np.ndarray | None = None,
+    levels: tuple[float, float] | None = None,
 ) -> np.ndarray:
     """Connected components of the (already opened) bitmap -> (N,5) relative
-    [xmin,ymin,xmax,ymax,score] boxes, clipped to [0,1]."""
+    [xmin,ymin,xmax,ymax,score] boxes, clipped to [0,1].
+
+    Fast path: when the proba map is two-level (bg where mask=0, fg where
+    mask=1), pass ``score_mask``+``levels`` instead of ``pred`` — the score
+    bg + (fg-bg)*mean(mask[region]) is then exactly the proba mean without
+    ever materializing a float map (the hot loop of the extraction UDF)."""
     h, w = bitmap.shape[:2]
     out: list[list[float]] = []
     for x0, y0, x1, y1 in connected_components(bitmap):
         # extent filter mirrors the reference's contour-extent < min_size drop
         if (x1 - x0) < min_size_box or (y1 - y0) < min_size_box:
             continue
-        score = box_score(pred, x0, y0, x1, y1)
+        if score_mask is not None and levels is not None:
+            bg, fg = levels
+            score = bg + (fg - bg) * float(score_mask[y0 : y1 + 1, x0 : x1 + 1].mean())
+        else:
+            score = box_score(pred, x0, y0, x1, y1)
         if score < box_thresh:
             continue
         ex0, ey0, ex1, ey1 = unclip_box(x0, y0, x1, y1, unclip_ratio)
@@ -252,3 +256,29 @@ def ink_proba_map(
 # model does not shrink text regions the way DB training targets do, so its
 # unclip ratio is small (just enough to add a safety margin to crops).
 INK_MODEL_POSTPROC = {"bin_thresh": BIN_THRESH, "box_thresh": BOX_THRESH, "unclip_ratio": 0.2}
+
+
+def ink_word_boxes(
+    img: np.ndarray,
+    scale: int,
+    box_thresh: float = BOX_THRESH,
+    unclip_ratio: float = 0.2,
+    ink_level: float = 0.98,
+    bg_level: float = 0.02,
+) -> np.ndarray:
+    """Fused fast path of ink_proba_map + postprocess_proba_map: identical
+    boxes/scores, but all-integer masks (no float64 HxW map). Binarizing the
+    two-level proba at bin_thresh reproduces the fused mask exactly, so the
+    pipeline skips straight from masks to components."""
+    gray = img if img.ndim == 2 else img.mean(axis=-1)
+    ink = (gray < 128).astype(np.uint8)
+    fused = dilate_horizontal(dilate_vertical(ink, 4 * scale), 3 * scale)
+    opened = binary_open3(fused)
+    return bitmap_to_boxes(
+        None,  # type: ignore[arg-type]
+        opened,
+        box_thresh=box_thresh,
+        unclip_ratio=unclip_ratio,
+        score_mask=fused,
+        levels=(bg_level, ink_level),
+    )

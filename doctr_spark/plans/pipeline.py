@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..functions.html import extract_main_text, looks_like_html
 from ..functions.vocabs import FONT, encode_string
 from ..operators.builder import build_page
-from ..operators.detection import INK_MODEL_POSTPROC, ink_proba_map, postprocess_proba_map
+from ..operators.detection import ink_word_boxes
 from ..operators.geometry import extract_crops
 from ..operators.recognition import ctc_best_path, indices_to_logits
 from ..sources.font import read_word_crop
@@ -69,8 +69,7 @@ def extract_turn_ocr(bundle: bytes) -> tuple[str, int, int, float, list[dict]]:
     n_boxes = 0
     min_conf = 1.0
     for page_idx, img in enumerate(pages):
-        proba = ink_proba_map(img, scale)
-        boxes = postprocess_proba_map(proba, **INK_MODEL_POSTPROC)
+        boxes = ink_word_boxes(img, scale)
         crops = extract_crops(img, boxes[:, :4])
         keep = [i for i, c in enumerate(crops) if c.size > 0]  # zero-size drop
         boxes = boxes[keep]

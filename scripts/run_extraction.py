@@ -1,0 +1,90 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Cluster usage (the packaging path the north rule requires):
+
+    cd /root/repo && zip -r /tmp/doctr_spark.zip doctr_spark
+    spark-submit --py-files /tmp/doctr_spark.zip \
+        scripts/run_extraction.py \
+        --input /path/to/transcripts_parquet \
+        --output /path/to/out \
+        --buckets 64 [--resume] [--salt-partitions N]
+
+Local sandbox usage (no spark-submit needed):
+
+    python scripts/run_extraction.py --demo
+
+The job is resumable: completed buckets are recorded in the sidecar
+manifest and skipped on restart (plans/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="transcript parquet dir (conv_id, turn_idx, role, text, tool, ts)")
+    ap.add_argument("--output", help="output dir (results/ + manifest/)")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--salt-partitions", type=int, default=0, help="explicit pre-UDF respread (0 = rely on input splits)")
+    ap.add_argument("--demo", action="store_true", help="generate a small corpus and run end-to-end locally")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from doctr_spark.plans.checkpoint import read_extraction_results, run_extraction_checkpointed
+
+    # on a real cluster spark-submit provides master/executors; locally we
+    # fall back to the tuned local session
+    if os.environ.get("SPARK_SUBMIT_MODE"):
+        spark = SparkSession.builder.appName("doctr-spark-extraction").getOrCreate()
+    else:
+        from doctr_spark.session import get_spark
+
+        spark = get_spark(app_name="doctr-spark-extraction")
+
+    if args.demo:
+        from doctr_spark.sources.corpus import make_transcripts
+
+        args.buckets = min(args.buckets, 8)  # demo corpus is tiny
+        out_dir = args.output or tempfile.mkdtemp(prefix="doctr_spark_demo_")
+        gen = make_transcripts(spark, 40, partitions=8)
+        in_dir = os.path.join(out_dir, "input")
+        gen.write.mode("overwrite").parquet(in_dir)
+        transcripts = spark.read.parquet(in_dir).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    else:
+        if not args.input or not args.output:
+            ap.error("--input and --output required (or use --demo)")
+        out_dir = args.output
+        transcripts = spark.read.parquet(args.input)
+
+    t0 = time.time()
+    summary = run_extraction_checkpointed(spark, transcripts, out_dir, buckets=args.buckets)
+    res = read_extraction_results(spark, out_dir)
+    n = res.count()
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "turns": n,
+                "sec": round(dt, 2),
+                "turns_per_sec": round(n / dt, 1),
+                "buckets_processed": summary["processed"],
+                "buckets_skipped": summary["skipped"],
+                "output": out_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
