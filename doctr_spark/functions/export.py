@@ -1,0 +1,112 @@
+"""Export sinks (reference §2.8): nested dict/JSON export and hOCR XML.
+
+Parity targets:
+- export()/from_dict(): nested Word/Line/Block/Page dicts
+  (doctr/io/elements.py:45-56,103,178,241,420) — here a flat-to-nested
+  rebuild from the Arrow-friendly words array.
+- export_as_xml(): hOCR (ocr_page / ocr_carea / ocr_par / ocr_line /
+  ocrx_word, absolute-pixel bboxes, x_wconf)
+  (doctr/io/elements.py:316-418).
+"""
+
+from __future__ import annotations
+
+import json
+from xml.sax.saxutils import escape
+
+
+def page_export(words: list[dict], dims: tuple[int, int], page_idx: int = 0) -> dict:
+    """Nested export dict from the flat words array (value/confidence/
+    geometry/line_idx/word_idx), one block holding all lines."""
+    lines: dict[int, list[dict]] = {}
+    for w in sorted(words, key=lambda w: (w["line_idx"], w["word_idx"])):
+        lines.setdefault(w["line_idx"], []).append(
+            {
+                "value": w["value"],
+                "confidence": w["confidence"],
+                "geometry": ((w["xmin"], w["ymin"]), (w["xmax"], w["ymax"])),
+            }
+        )
+    line_objs = []
+    for line_idx in sorted(lines):
+        ws = lines[line_idx]
+        geom = (
+            (min(w["geometry"][0][0] for w in ws), min(w["geometry"][0][1] for w in ws)),
+            (max(w["geometry"][1][0] for w in ws), max(w["geometry"][1][1] for w in ws)),
+        )
+        line_objs.append({"geometry": geom, "words": ws})
+    block = {
+        "geometry": (
+            (min(ln["geometry"][0][0] for ln in line_objs), min(ln["geometry"][0][1] for ln in line_objs)),
+            (max(ln["geometry"][1][0] for ln in line_objs), max(ln["geometry"][1][1] for ln in line_objs)),
+        )
+        if line_objs
+        else ((0.0, 0.0), (0.0, 0.0)),
+        "lines": line_objs,
+        "artefacts": [],
+    }
+    return {"page_idx": page_idx, "dimensions": dims, "blocks": [block] if line_objs else []}
+
+
+def page_from_dict(d: dict) -> list[dict]:
+    """Inverse of page_export: back to the flat words array."""
+    out = []
+    for block in d.get("blocks", []):
+        for line_idx, line in enumerate(block["lines"]):
+            for word_idx, w in enumerate(line["words"]):
+                (x0, y0), (x1, y1) = w["geometry"]
+                out.append(
+                    {
+                        "value": w["value"],
+                        "confidence": w["confidence"],
+                        "xmin": x0,
+                        "ymin": y0,
+                        "xmax": x1,
+                        "ymax": y1,
+                        "line_idx": line_idx,
+                        "word_idx": word_idx,
+                    }
+                )
+    return out
+
+
+def page_to_json(words: list[dict], dims: tuple[int, int], page_idx: int = 0) -> str:
+    return json.dumps(page_export(words, dims, page_idx), sort_keys=True)
+
+
+def export_hocr(words: list[dict], dims: tuple[int, int], page_idx: int = 0, lang: str = "en") -> str:
+    """hOCR XML for one page; bboxes in absolute pixels, confidence as
+    x_wconf percent."""
+    h, w = dims
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<html xmlns="http://www.w3.org/1999/xhtml" xml:lang="en">',
+        "<body>",
+        f'<div class="ocr_page" id="page_{page_idx + 1}" title="image; bbox 0 0 {w} {h}; ppageno 0">',
+        f'<div class="ocr_carea" id="block_{page_idx + 1}_1">',
+        f'<p class="ocr_par" id="par_{page_idx + 1}_1">',
+    ]
+    lines: dict[int, list[dict]] = {}
+    for word in sorted(words, key=lambda x: (x["line_idx"], x["word_idx"])):
+        lines.setdefault(word["line_idx"], []).append(word)
+    for line_idx in sorted(lines):
+        ws = lines[line_idx]
+        lx0 = int(min(x["xmin"] for x in ws) * w)
+        ly0 = int(min(x["ymin"] for x in ws) * h)
+        lx1 = int(max(x["xmax"] for x in ws) * w)
+        ly1 = int(max(x["ymax"] for x in ws) * h)
+        out.append(
+            f'<span class="ocr_line" id="line_{page_idx + 1}_{line_idx + 1}" '
+            f'title="bbox {lx0} {ly0} {lx1} {ly1}; baseline 0 0">'
+        )
+        for word in ws:
+            x0, y0 = int(word["xmin"] * w), int(word["ymin"] * h)
+            x1, y1 = int(word["xmax"] * w), int(word["ymax"] * h)
+            conf = int(round(word["confidence"] * 100))
+            out.append(
+                f'<span class="ocrx_word" id="word_{page_idx + 1}_{line_idx + 1}_{word["word_idx"] + 1}" '
+                f'title="bbox {x0} {y0} {x1} {y1}; x_wconf {conf}">{escape(word["value"])}</span>'
+            )
+        out.append("</span>")
+    out.extend(["</p>", "</div>", "</div>", "</body>", "</html>"])
+    return "\n".join(out)

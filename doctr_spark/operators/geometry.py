@@ -72,6 +72,29 @@ def extract_crops(img: np.ndarray, rel_boxes: np.ndarray) -> list[np.ndarray]:
     return out
 
 
+def extract_rotated_crop(img: np.ndarray, quad_rel: np.ndarray) -> np.ndarray:
+    """Warp a rotated quad (4,2 relative coords, ordered top-left, top-right,
+    bottom-right, bottom-left) out of the page — the extract_rcrops
+    equivalent without cv2: inverse bilinear mapping of the output grid onto
+    the quad, nearest-neighbor sampling."""
+    h, w = img.shape[:2]
+    q = np.asarray(quad_rel, dtype=np.float64) * np.array([w, h])
+    tl, tr, br, bl = q
+    out_w = max(1, int(round(max(np.linalg.norm(tr - tl), np.linalg.norm(br - bl)))))
+    out_h = max(1, int(round(max(np.linalg.norm(bl - tl), np.linalg.norm(br - tr)))))
+    u = (np.arange(out_w) + 0.5) / out_w
+    v = (np.arange(out_h) + 0.5) / out_h
+    uu, vv = np.meshgrid(u, v)
+    # bilinear interpolation of the quad corners
+    xs = (1 - uu) * (1 - vv) * tl[0] + uu * (1 - vv) * tr[0] + uu * vv * br[0] + (1 - uu) * vv * bl[0]
+    ys = (1 - uu) * (1 - vv) * tl[1] + uu * (1 - vv) * tr[1] + uu * vv * br[1] + (1 - uu) * vv * bl[1]
+    # floor of continuous coords (not round: banker's rounding on exact .5
+    # centers would alternate pixels and break axis-aligned exactness)
+    xi = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    yi = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    return img[yi, xi]
+
+
 def box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(N,4) x (M,4) -> (N,M) IoU. (doctr/utils/metrics.py:124-149 semantics)"""
     a = np.asarray(a, dtype=np.float64).reshape(-1, 4)

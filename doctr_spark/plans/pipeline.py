@@ -58,10 +58,13 @@ def _recognize_word(crop: np.ndarray, scale: int) -> tuple[str, float]:
     return ctc_best_path(indices_to_logits(indices), FONT)[0]
 
 
-def extract_turn_ocr(bundle: bytes) -> tuple[str, int, int, float, list[dict]]:
-    """Decode a page bundle and run detect->crop->recognize->build per page.
+def extract_turn_ocr(bundle: bytes, detect_orientation: bool = False) -> tuple[str, int, int, float, list[dict]]:
+    """Decode a page bundle and run [orient ->] detect -> crop -> recognize
+    -> build per page.
 
     Returns (document_text, n_pages, n_boxes, min_conf, words).
+    ``detect_orientation`` mirrors docTR's optional orientation stage
+    (default off = the assume_straight_pages fast path).
     """
     pages, scale = decode_page_bundle(bundle)
     page_texts: list[str] = []
@@ -69,6 +72,10 @@ def extract_turn_ocr(bundle: bytes) -> tuple[str, int, int, float, list[dict]]:
     n_boxes = 0
     min_conf = 1.0
     for page_idx, img in enumerate(pages):
+        if detect_orientation:
+            from ..operators.orientation import estimate_page_orientation, rotate_page
+
+            img = rotate_page(img, estimate_page_orientation(img, scale))
         boxes = ink_word_boxes(img, scale)
         crops = extract_crops(img, boxes[:, :4])
         keep = [i for i, c in enumerate(crops) if c.size > 0]  # zero-size drop
@@ -87,7 +94,7 @@ def extract_turn_ocr(bundle: bytes) -> tuple[str, int, int, float, list[dict]]:
     return PAGE_SEP.join(page_texts), len(pages), n_boxes, min_conf, words_out
 
 
-def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _extract_batch(pdf: pd.DataFrame, detect_orientation: bool = False) -> pd.DataFrame:
     out_rows = []
     for conv_id, turn_idx, role, text, tool, ts in zip(
         pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"], pdf["tool"], pdf["ts"]
@@ -97,7 +104,7 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         n_pages, n_boxes, min_conf, strip_ratio = 0, 0, 1.0, 1.0
         if payload is not None and payload[0] == "page_bundle":
             kind = "ocr"
-            extracted, n_pages, n_boxes, min_conf, words = extract_turn_ocr(payload[1])
+            extracted, n_pages, n_boxes, min_conf, words = extract_turn_ocr(payload[1], detect_orientation)
         elif text and looks_like_html(text):
             kind = "html"
             extracted = extract_main_text(text)
@@ -143,12 +150,18 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def extract_turns(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+def extract_turns(
+    df: DataFrame,
+    salt_partitions: int | None = None,
+    detect_orientation: bool = False,
+) -> DataFrame:
     """Fused extraction over a transcript DataFrame.
 
     ``salt_partitions``: optional explicit re-spread by (conv_id, turn_idx)
     hash before the heavy stage — only needed when the input file layout is
     pathologically skewed; the shuffle moves payload bytes, so default off.
+    ``detect_orientation``: enable the per-page orientation classifier
+    (docTR's non-assume_straight_pages path; ~2-4x detection cost).
     """
     src = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     if salt_partitions:
@@ -157,7 +170,7 @@ def extract_turns(df: DataFrame, salt_partitions: int | None = None) -> DataFram
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _extract_batch(pdf)
+                yield _extract_batch(pdf, detect_orientation)
 
     return src.mapInPandas(run, schema=EXTRACT_SCHEMA)
 

@@ -69,8 +69,17 @@ def conv_length(conv_idx: int, mean_turns: int, long_every: int, long_turns: int
     return 3 + _h(f"len/{conv_idx}") % (2 * mean_turns - 3)
 
 
-def gen_turn(conv_idx: int, turn_idx: int, ocr_ratio: float = 0.2, html_ratio: float = 0.3, scale: int = DEFAULT_SCALE) -> dict:
-    """Deterministically build one turn row (incl. ground-truth text)."""
+def gen_turn(
+    conv_idx: int,
+    turn_idx: int,
+    ocr_ratio: float = 0.2,
+    html_ratio: float = 0.3,
+    scale: int = DEFAULT_SCALE,
+    rot_ratio: float = 0.0,
+) -> dict:
+    """Deterministically build one turn row (incl. ground-truth text).
+    ``rot_ratio``: fraction of OCR pages stored rotated by a random quarter
+    turn (exercises the orientation-detection stage)."""
     seed = _h(f"turn/{conv_idx}/{turn_idx}")
     role = _ROLES[turn_idx % 3]
     kind_draw = (seed % 1000) / 1000.0
@@ -84,6 +93,8 @@ def gen_turn(conv_idx: int, turn_idx: int, ocr_ratio: float = 0.2, html_ratio: f
             pseed = _h(f"page/{conv_idx}/{turn_idx}/{p}")
             words = _pick(_OCR_BANK, pseed, 4 + pseed % 10)
             img, _ = render_page(words, scale=scale)
+            if rot_ratio > 0 and (pseed % 997) / 997.0 < rot_ratio:
+                img = np.ascontiguousarray(np.rot90(img, 1 + pseed % 3))
             pages.append(img)
             page_texts.append("\n".join(expected_page_lines(words, scale=scale)))
         bundle = encode_page_bundle(pages, scale)
@@ -142,9 +153,10 @@ def gen_conversation(
     ocr_ratio: float = 0.2,
     html_ratio: float = 0.3,
     scale: int = DEFAULT_SCALE,
+    rot_ratio: float = 0.0,
 ) -> list[dict]:
     n = conv_length(conv_idx, mean_turns, long_every, long_turns)
-    return [gen_turn(conv_idx, t, ocr_ratio, html_ratio, scale) for t in range(n)]
+    return [gen_turn(conv_idx, t, ocr_ratio, html_ratio, scale, rot_ratio) for t in range(n)]
 
 
 TRANSCRIPT_SCHEMA = (

@@ -1,0 +1,138 @@
+"""Orientation, resize/padding, rotated crops, export formats, KIE, metrics."""
+
+import numpy as np
+import pytest
+
+from doctr_spark.functions.export import export_hocr, page_export, page_from_dict, page_to_json
+from doctr_spark.functions.metrics import hungarian_min, localization_confusion, ocr_matches
+from doctr_spark.operators.builder import build_page
+from doctr_spark.operators.detection import ink_word_boxes
+from doctr_spark.operators.geometry import extract_crops, extract_rotated_crop
+from doctr_spark.operators.kie import build_kie_page, classify_token, render_kie_page
+from doctr_spark.operators.orientation import (
+    estimate_page_orientation,
+    rectify_crops,
+    rectify_loc_preds,
+    rotate_page,
+)
+from doctr_spark.operators.preprocess import normalize_batch, remove_padding, resize_page
+from doctr_spark.sources import font
+
+
+def _ocr_page(words, scale=3, k=0):
+    img, _ = font.render_page(words, scale=scale)
+    return np.rot90(img, k)
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 3])
+def test_estimate_page_orientation(k):
+    img = _ocr_page("THE QUICK BROWN FOX JUMPS OVER".split(), k=k)
+    est = estimate_page_orientation(img, 3)
+    # rot90(img, est) must be upright: est + k = 0 mod 4 reverses the applied turn
+    assert (est + k) % 4 == 0 or est == (4 - k) % 4
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_rotated_page_full_loop(k):
+    words = "ROTATED PAGE TEST 123!".split()
+    img = _ocr_page(words, k=k)
+    est = estimate_page_orientation(img, 3)
+    upright = rotate_page(img, est)
+    boxes = ink_word_boxes(upright, 3)
+    crops = extract_crops(upright, boxes[:, :4])
+    texts = [font.read_word_crop(c, 3) for c in crops]
+    page = build_page(boxes[:, :4], texts, boxes[:, 4])
+    assert page.text == "\n".join(font.expected_page_lines(words, scale=3))
+
+
+def test_rectify_crops_and_loc_preds():
+    crop = np.arange(12).reshape(3, 4)
+    [out] = rectify_crops([crop], [1])
+    assert out.shape == (4, 3)
+    quads = np.array([[[0, 0], [1, 0], [1, 1], [0, 1]]], dtype=float)
+    rolled = rectify_loc_preds(quads, [1])
+    assert rolled[0].tolist() == [[0, 1], [0, 0], [1, 0], [1, 1]]
+
+
+def test_extract_rotated_crop_axis_aligned():
+    img, placed = font.render_page(["HELLO"], scale=3)
+    word, x0, y0, x1, y1 = placed[0]
+    h, w = img.shape
+    quad = np.array([[x0 / w, y0 / h], [x1 / w, y0 / h], [x1 / w, y1 / h], [x0 / w, y1 / h]])
+    crop = extract_rotated_crop(img, quad)
+    assert font.read_word_crop(crop, 3) == "HELLO"
+
+
+def test_resize_and_remove_padding():
+    img = np.full((100, 50), 255, dtype=np.uint8)
+    img[40:60, 10:30] = 0
+    resized, tf = resize_page(img, (100, 100), preserve_aspect_ratio=True, symmetric_pad=True)
+    assert resized.shape == (100, 100)
+    # the padded-canvas box maps back to the original relative box
+    padded_box = np.array([[tf[0] + 0.2 * tf[2], tf[1] + 0.4 * tf[3], tf[0] + 0.6 * tf[2], tf[1] + 0.6 * tf[3]]])
+    back = remove_padding(padded_box, tf)
+    assert np.allclose(back, [[0.2, 0.4, 0.6, 0.6]], atol=1e-9)
+    # no-op transform when aspect not preserved
+    r2, tf2 = resize_page(img, (80, 80), preserve_aspect_ratio=False)
+    assert r2.shape == (80, 80) and tf2 == (0.0, 0.0, 1.0, 1.0)
+
+
+def test_normalize_batch():
+    x = np.full((2, 4, 4), 255, dtype=np.uint8)
+    out = normalize_batch(x, mean=(0.5,), std=(0.5,))
+    assert out.dtype == np.float32
+    assert np.allclose(out, 1.0)
+
+
+def test_page_export_roundtrip():
+    boxes = np.array([[0.0, 0.0, 0.1, 0.1], [0.12, 0.0, 0.2, 0.1]])
+    page = build_page(boxes, ["hello", "world"])
+    d = page_export(page.words, (100, 200))
+    assert d["dimensions"] == (100, 200)
+    assert d["blocks"][0]["lines"][0]["words"][0]["value"] == "hello"
+    flat = page_from_dict(d)
+    assert [w["value"] for w in flat] == ["hello", "world"]
+    js = page_to_json(page.words, (100, 200))
+    assert '"value": "hello"' in js
+
+
+def test_export_hocr():
+    boxes = np.array([[0.1, 0.1, 0.3, 0.2], [0.4, 0.1, 0.6, 0.2]])
+    page = build_page(boxes, ["AB", "CD"])
+    xml = export_hocr(page.words, (100, 200))
+    assert 'class="ocr_page"' in xml and 'class="ocrx_word"' in xml
+    assert "bbox 20 10 60 20" in xml  # 0.1*200, 0.1*100, 0.3*200, 0.2*100
+    assert ">AB</span>" in xml and 'x_wconf 100' in xml
+
+
+def test_kie_build_and_render():
+    boxes = np.array(
+        [[0.0, 0.0, 0.1, 0.1], [0.2, 0.0, 0.3, 0.1], [0.0, 0.3, 0.1, 0.4], [0.2, 0.3, 0.3, 0.4]]
+    )
+    values = ["HELLO", "42", "WORLD", "+"]
+    kie = build_kie_page(boxes, values)
+    assert [p["value"] for p in kie["word"]] == ["HELLO", "WORLD"]
+    assert [p["value"] for p in kie["number"]] == ["42"]
+    assert [p["value"] for p in kie["symbol"]] == ["+"]
+    assert render_kie_page(kie) == "number: 42\n\nsymbol: +\n\nword: HELLO\n\nword: WORLD"
+    assert classify_token("A1") == "word"
+
+
+def test_hungarian_optimal():
+    cost = np.array([[4, 1, 3], [2, 0, 5], [3, 2, 2]])
+    pairs = hungarian_min(cost)
+    total = sum(cost[r, c] for r, c in pairs)
+    assert total == 5  # optimal: (0,1)+(1,0)+(2,2) = 1+2+2
+    # rectangular
+    pairs2 = hungarian_min(np.array([[1.0, 9.0, 9.0], [9.0, 1.0, 9.0]]))
+    assert set(pairs2) == {(0, 0), (1, 1)}
+
+
+def test_localization_and_ocr_metrics():
+    gt = np.array([[0.0, 0.0, 0.2, 0.2], [0.5, 0.5, 0.7, 0.7]])
+    pred = np.array([[0.01, 0.0, 0.2, 0.2], [0.5, 0.5, 0.7, 0.69], [0.9, 0.9, 1.0, 1.0]])
+    n, iou_sum = localization_confusion(gt, pred)
+    assert n == 2 and iou_sum > 1.8
+    loc, both = ocr_matches(gt, ["A", "B"], pred, ["A", "X", "C"])
+    assert loc == 2 and both == 1
+    assert localization_confusion(np.zeros((0, 4)), pred) == (0, 0.0)

@@ -81,3 +81,17 @@ def test_salted_extraction_same_result(spark, corpus):
     salted = extract_turns(inp, salt_partitions=8).select("conv_id", "turn_idx", "extracted_text")
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_rotated_pages_with_orientation_detection(spark):
+    from doctr_spark.sources.corpus import make_transcripts
+    from pyspark.sql import functions as F2
+
+    gen = make_transcripts(
+        spark, 10, partitions=2, ocr_ratio=1.0, html_ratio=0.0, rot_ratio=0.7
+    ).cache()
+    inp = gen.drop("expected_text", "payload_kind")
+    res = extract_turns(inp, detect_orientation=True)
+    j = res.join(gen.select("conv_id", "turn_idx", "expected_text"), ["conv_id", "turn_idx"])
+    assert j.filter(F2.col("extracted_text") != F2.col("expected_text")).count() == 0
+    gen.unpersist()
