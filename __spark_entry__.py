@@ -166,6 +166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_lines": EQ.q_resolve_lines,
         "detect_boxes": EQ.q_detect_boxes,
         "render_joins": EQ.q_render_joins,
+        "split_crops": EQ.q_split_crops,
+        "kie_render": EQ.q_kie_render,
+        "orientation": EQ.q_orientation,
+        "hocr_export": EQ.q_hocr_export,
         # --- relational builder analogues
         "sort_key_rank": EQ.q_sort_key_rank,
         "enclosing_bbox": EQ.q_enclosing_bbox,
@@ -204,6 +208,10 @@ def oracle_sql() -> dict[str, str]:
         "resolve_lines": EQ.LINES_ORACLE,
         "detect_boxes": EQ.DETECT_ORACLE,
         "render_joins": EQ.RENDER_ORACLE,
+        "split_crops": EQ.SPLIT_ORACLE,
+        "kie_render": EQ.KIE_ORACLE,
+        "orientation": EQ.ORIENTATION_ORACLE,
+        "hocr_export": EQ.HOCR_ORACLE,
         "sort_key_rank": EQ.SORT_KEY_RANK_ORACLE,
         "enclosing_bbox": EQ.ENCLOSING_BBOX_ORACLE,
         "gap_sessionize": EQ.GAP_SESSIONIZE_ORACLE,

@@ -735,3 +735,134 @@ SELECT query_id, neighbor_id,
        round(sim, 4) AS sim
 FROM scored QUALIFY rank <= 5
 """
+
+
+# ===================================================== added operators ===
+
+# ---- wide-crop split geometry (reference split_crops arithmetic:
+#      n = int(ar//target), width = dil*w/n, centers (w/n)*(i+1/2),
+#      start = max(0, round(c-width/2)), stop = min(w-1, round(c+width/2)))
+SPLIT_FIXTURES = [
+    # (case_id, width, height) -> expected ranges computed from the spec
+    (1, 100, 20, None),           # ar 5 <= 8: no split
+    (2, 200, 20, [(0, 199)]),     # ar 10: n=1, width=280 -> clamped full range
+    (3, 400, 20, [(0, 160), (107, 293), (240, 399)]),  # ar 20: n=3, width~186.7
+]
+
+
+def q_split_crops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recognition import split_wide_crop
+
+    src = spark.createDataFrame(
+        [(cid, w, h) for cid, w, h, _ in SPLIT_FIXTURES], "case_id long, w long, h long"
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for cid, w, h in zip(pdf["case_id"], pdf["w"], pdf["h"]):
+                ranges = split_wide_crop(int(w), int(h))
+                out.append({"case_id": cid, "ranges": json.dumps(ranges)})
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, "case_id long, ranges string")
+
+
+SPLIT_ORACLE = values_oracle(
+    [(cid, json.dumps([list(r) for r in rs] if rs is not None else None)) for cid, _, _, rs in SPLIT_FIXTURES],
+    [("case_id", "BIGINT"), ("ranges", "VARCHAR")],
+)
+
+# ---- KIE per-class build + render (KIEPage.render semantics)
+KIE_FIXTURES = [
+    (
+        1,
+        [[0.0, 0.0, 0.1, 0.1], [0.2, 0.0, 0.3, 0.1], [0.0, 0.3, 0.1, 0.4], [0.2, 0.3, 0.3, 0.4]],
+        ["HELLO", "42", "WORLD", "+"],
+        "number: 42\n\nsymbol: +\n\nword: HELLO\n\nword: WORLD",
+    ),
+    (2, [[0.0, 0.0, 0.2, 0.1]], ["A1B2"], "word: A1B2"),
+]
+
+
+def q_kie_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kie import build_kie_page, render_kie_page
+
+    src = spark.createDataFrame(
+        [(cid, json.dumps(b), json.dumps(v)) for cid, b, v, _ in KIE_FIXTURES],
+        "case_id long, boxes string, vals string",
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rendered = [
+                render_kie_page(build_kie_page(np.asarray(json.loads(b)), json.loads(v)))
+                for b, v in zip(pdf["boxes"], pdf["vals"])
+            ]
+            yield pd.DataFrame({"case_id": pdf["case_id"], "rendered": rendered})
+
+    return src.mapInPandas(run, "case_id long, rendered string")
+
+
+KIE_ORACLE = values_oracle(
+    [(cid, exp) for cid, _, _, exp in KIE_FIXTURES],
+    [("case_id", "BIGINT"), ("rendered", "VARCHAR")],
+)
+
+
+def q_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orientation classifier over rendered pages rotated k quarter turns:
+    the estimate must invert the applied rotation (k + est = 0 mod 4)."""
+    from ..operators.orientation import estimate_page_orientation
+    from ..sources.font import render_page as _render
+
+    src = spark.createDataFrame([(k,) for k in range(4)], "k long")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for k in pdf["k"]:
+                img, _ = _render("THE QUICK BROWN FOX 123!".split(), scale=3)
+                est = estimate_page_orientation(np.ascontiguousarray(np.rot90(img, int(k))), 3)
+                out.append({"k": k, "est": est, "inverts": int((est + int(k)) % 4 == 0)})
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, "k long, est long, inverts long")
+
+
+ORIENTATION_ORACLE = values_oracle(
+    [(k, (4 - k) % 4, 1) for k in range(4)],
+    [("k", "BIGINT"), ("est", "BIGINT"), ("inverts", "BIGINT")],
+)
+
+
+def q_hocr_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hOCR export over fixed words (structure + bbox arithmetic check)."""
+    from ..functions.export import export_hocr
+    from ..operators.builder import build_page
+
+    src = spark.createDataFrame([(1,)], "case_id long")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            boxes = np.array([[0.1, 0.1, 0.3, 0.2], [0.4, 0.1, 0.6, 0.2]])
+            page = build_page(boxes, ["AB", "CD"])
+            xml = export_hocr(page.words, (100, 200))
+            yield pd.DataFrame(
+                {
+                    "case_id": pdf["case_id"],
+                    "n_words": [xml.count('class="ocrx_word"')],
+                    "n_lines": [xml.count('class="ocr_line"')],
+                    "first_bbox": ["bbox 20 10 60 20" if "bbox 20 10 60 20" in xml else "missing"],
+                }
+            )
+
+    return src.mapInPandas(run, "case_id long, n_words long, n_lines long, first_bbox string")
+
+
+HOCR_ORACLE = values_oracle(
+    # two words with a 0.1 horizontal gap split into two sub-lines
+    # (paragraph_break 0.035), hence 2 ocr_line spans
+    [(1, 2, 2, "bbox 20 10 60 20")],
+    [("case_id", "BIGINT"), ("n_words", "BIGINT"), ("n_lines", "BIGINT"), ("first_bbox", "VARCHAR")],
+)
