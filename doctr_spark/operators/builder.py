@@ -87,6 +87,45 @@ def resolve_lines(boxes: np.ndarray, paragraph_break: float = PARAGRAPH_BREAK) -
     return lines
 
 
+def resolve_blocks(boxes: np.ndarray, lines: list[list[int]], t: float = 0.1) -> list[list[list[int]]]:
+    """Group lines into blocks by clustering 6-dim geometric line features
+    with a distance threshold.
+
+    The reference clusters with scipy fclusterdata(t=0.1,
+    criterion='distance') — single-linkage under a distance cutoff, which
+    is exactly connected components of the graph {d(i,j) <= t} — computed
+    here directly (no scipy). Off by default in the pipeline, like the
+    reference's resolve_blocks=False default.
+    """
+    b = np.asarray(boxes, dtype=np.float64)
+    if b.ndim == 3:
+        b = quads_to_straight(b)
+    line_boxes = np.array([resolve_enclosing_bbox(b[line]) for line in lines])
+    x0, y0, x1, y1 = line_boxes[:, 0], line_boxes[:, 1], line_boxes[:, 2], line_boxes[:, 3]
+    feats = np.stack(
+        ((x0 + y1) / 2, (y0 + x1) / 2, (x0 + x1) / 2, (y0 + y1) / 2, x0, y0), axis=-1
+    )
+    d2 = ((feats[:, None, :] - feats[None, :, :]) ** 2).sum(-1)
+    adj = d2 <= t * t
+    n = len(lines)
+    labels = np.full(n, -1, dtype=np.int64)
+    blocks: list[list[list[int]]] = []
+    for i in range(n):
+        if labels[i] >= 0:
+            continue
+        stack, members = [i], []
+        labels[i] = len(blocks)
+        while stack:
+            u = stack.pop()
+            members.append(u)
+            for v in np.flatnonzero(adj[u]):
+                if labels[v] < 0:
+                    labels[int(v)] = len(blocks)
+                    stack.append(int(v))
+        blocks.append([lines[m] for m in sorted(members)])
+    return blocks
+
+
 @dataclass
 class BuiltPage:
     """Flat, Arrow-friendly page structure (words carry line/block ids)."""
@@ -103,12 +142,14 @@ def build_page(
     scores: np.ndarray | None = None,
     resolve: bool = True,
     paragraph_break: float = PARAGRAPH_BREAK,
+    group_blocks: bool = False,
 ) -> BuiltPage:
-    """Assemble detected words into lines -> a single block -> page text.
+    """Assemble detected words into lines -> block(s) -> page text.
 
-    Mirrors DocumentBuilder._build_blocks with resolve_blocks=False (the
+    Default mirrors DocumentBuilder with resolve_blocks=False (the
     reference default, builder.py:33): all lines form one block, so
-    page.render() == "\\n".join(line texts).
+    page.render() == "\\n".join(line texts). With ``group_blocks`` lines
+    cluster geometrically into blocks joined by "\\n\\n".
     """
     b = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
     if b.shape[0] != len(values):
@@ -119,39 +160,48 @@ def build_page(
         scores = np.ones(b.shape[0], dtype=np.float64)
 
     line_groups = resolve_lines(b, paragraph_break) if resolve else [list(sort_boxes(b)[0])]
+    if group_blocks and len(line_groups) > 1:
+        block_groups = resolve_blocks(b, line_groups)
+    else:
+        block_groups = [line_groups]
 
     words_out: list[dict] = []
     lines_out: list[dict] = []
-    line_texts: list[list[str]] = []
-    for line_idx, group in enumerate(line_groups):
-        texts = [values[i] for i in group]
-        line_texts.append(texts)
-        bbox = resolve_enclosing_bbox(b[group])
-        lines_out.append(
-            {
-                "line_idx": line_idx,
-                "text": " ".join(texts),
-                "xmin": float(bbox[0]),
-                "ymin": float(bbox[1]),
-                "xmax": float(bbox[2]),
-                "ymax": float(bbox[3]),
-                "block_idx": 0,
-            }
-        )
-        for pos, i in enumerate(group):
-            words_out.append(
+    block_texts: list[list[list[str]]] = []
+    line_idx = 0
+    for block_idx, block in enumerate(block_groups):
+        line_texts: list[list[str]] = []
+        for group in block:
+            texts = [values[i] for i in group]
+            line_texts.append(texts)
+            bbox = resolve_enclosing_bbox(b[group])
+            lines_out.append(
                 {
-                    "value": values[i],
-                    "confidence": float(scores[i]),
-                    "xmin": float(b[i, 0]),
-                    "ymin": float(b[i, 1]),
-                    "xmax": float(b[i, 2]),
-                    "ymax": float(b[i, 3]),
                     "line_idx": line_idx,
-                    "word_idx": pos,
-                    "block_idx": 0,
+                    "text": " ".join(texts),
+                    "xmin": float(bbox[0]),
+                    "ymin": float(bbox[1]),
+                    "xmax": float(bbox[2]),
+                    "ymax": float(bbox[3]),
+                    "block_idx": block_idx,
                 }
             )
+            for pos, i in enumerate(group):
+                words_out.append(
+                    {
+                        "value": values[i],
+                        "confidence": float(scores[i]),
+                        "xmin": float(b[i, 0]),
+                        "ymin": float(b[i, 1]),
+                        "xmax": float(b[i, 2]),
+                        "ymax": float(b[i, 3]),
+                        "line_idx": line_idx,
+                        "word_idx": pos,
+                        "block_idx": block_idx,
+                    }
+                )
+            line_idx += 1
+        block_texts.append(line_texts)
 
-    page_text = render_page([line_texts])  # one block holding all lines
+    page_text = render_page(block_texts)
     return BuiltPage(text=page_text, words=words_out, lines=lines_out, n_words=len(words_out))

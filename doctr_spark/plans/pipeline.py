@@ -58,13 +58,20 @@ def _recognize_word(crop: np.ndarray, scale: int) -> tuple[str, float]:
     return ctc_best_path(indices_to_logits(indices), FONT)[0]
 
 
-def extract_turn_ocr(bundle: bytes, detect_orientation: bool = False) -> tuple[str, int, int, float, list[dict]]:
-    """Decode a page bundle and run [orient ->] detect -> crop -> recognize
-    -> build per page.
+def extract_turn_ocr(
+    bundle: bytes,
+    detect_orientation: bool = False,
+    detection_hooks: list | None = None,
+) -> tuple[str, int, int, float, list[dict]]:
+    """Decode a page bundle and run [orient ->] detect -> [hooks ->] crop ->
+    recognize -> build per page.
 
     Returns (document_text, n_pages, n_boxes, min_conf, words).
     ``detect_orientation`` mirrors docTR's optional orientation stage
     (default off = the assume_straight_pages fast path).
+    ``detection_hooks``: callables (boxes:(N,5)) -> (N,5) applied to the
+    detector output before cropping — the predictor add_hook() extension
+    point (reference models/predictor/base.py:193-199).
     """
     pages, scale = decode_page_bundle(bundle)
     page_texts: list[str] = []
@@ -77,6 +84,8 @@ def extract_turn_ocr(bundle: bytes, detect_orientation: bool = False) -> tuple[s
 
             img = rotate_page(img, estimate_page_orientation(img, scale))
         boxes = ink_word_boxes(img, scale)
+        for hook in detection_hooks or ():
+            boxes = hook(boxes)
         crops = extract_crops(img, boxes[:, :4])
         keep = [i for i, c in enumerate(crops) if c.size > 0]  # zero-size drop
         boxes = boxes[keep]

@@ -110,3 +110,49 @@ def test_build_page_empty():
     page = build_page(np.zeros((0, 4)), [])
     assert page.text == ""
     assert page.n_words == 0
+
+
+def test_resolve_blocks_groups_far_lines():
+    from doctr_spark.operators.builder import resolve_blocks
+
+    # two tight lines at the top, one far line at the bottom
+    boxes = np.array(
+        [
+            [0.1, 0.10, 0.4, 0.14],
+            [0.1, 0.16, 0.4, 0.20],
+            [0.1, 0.80, 0.4, 0.84],
+        ]
+    )
+    lines = [[0], [1], [2]]
+    blocks = resolve_blocks(boxes, lines, t=0.1)
+    assert blocks == [[[0], [1]], [[2]]]
+
+
+def test_build_page_with_blocks():
+    boxes = np.array(
+        [
+            [0.1, 0.10, 0.4, 0.14],
+            [0.1, 0.16, 0.4, 0.20],
+            [0.1, 0.80, 0.4, 0.84],
+        ]
+    )
+    page = build_page(boxes, ["top", "middle", "bottom"], group_blocks=True)
+    assert page.text == "top\nmiddle\n\nbottom"  # blocks joined by \n\n
+    assert page.words[2]["block_idx"] == 1
+    # default stays single-block
+    page2 = build_page(boxes, ["top", "middle", "bottom"])
+    assert page2.text == "top\nmiddle\nbottom"
+
+
+def test_detection_hook_applied():
+    from doctr_spark.plans.pipeline import extract_turn_ocr
+    from doctr_spark.sources.font import render_page as rp
+    from doctr_spark.sources.payloads import encode_page_bundle
+
+    img, _ = rp(["AAA", "BBB"], scale=3)
+    bundle = encode_page_bundle([img], 3)
+    full, _, n_all, _, _ = extract_turn_ocr(bundle)
+    assert full == "AAA BBB" and n_all == 2
+    drop_low_x = lambda b: b[b[:, 0] > 0.1]  # noqa: E731
+    hooked, _, n_hooked, _, _ = extract_turn_ocr(bundle, detection_hooks=[drop_low_x])
+    assert n_hooked == 1 and hooked == "BBB"
