@@ -28,6 +28,13 @@ BOX_THRESH = 0.1
 UNCLIP_RATIO = 1.5
 MIN_SIZE_BOX = 2
 
+# postprocessor presets per detector family (reference defaults: DB at
+# bin .3/box .1/unclip 1.5; FAST and LinkNet at bin .1/box .1/unclip 1.0
+# — same postprocess contract, different thresholds)
+DB_POSTPROC = {"bin_thresh": 0.3, "box_thresh": 0.1, "unclip_ratio": 1.5}
+FAST_POSTPROC = {"bin_thresh": 0.1, "box_thresh": 0.1, "unclip_ratio": 1.0}
+LINKNET_POSTPROC = {"bin_thresh": 0.1, "box_thresh": 0.1, "unclip_ratio": 1.0}
+
 
 # ------------------------------------------------------------- morphology
 

@@ -72,6 +72,32 @@ def extract_crops(img: np.ndarray, rel_boxes: np.ndarray) -> list[np.ndarray]:
     return out
 
 
+def rotate_boxes(quads: np.ndarray, angle_deg: float, min_angle: float = 1.0) -> np.ndarray:
+    """Rotate (N,4,2) relative polygons by -angle around the page center
+    (0.5, 0.5) — the de-skew step the rotated _sort_boxes path applies
+    before collapsing quads to straight boxes. Angles below ``min_angle``
+    are a no-op (the reference's small-angle fast path)."""
+    q = np.asarray(quads, dtype=np.float64)
+    if abs(angle_deg) < min_angle:
+        return q.copy()
+    theta = np.deg2rad(angle_deg)
+    rot = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    centered = q - 0.5
+    return centered @ rot.T + 0.5
+
+
+def deskewed_straight_boxes(quads: np.ndarray, min_angle: float = 5.0) -> np.ndarray:
+    """Rotated (N,4,2) polys -> straight (N,4) boxes after removing the
+    estimated page skew (the full _sort_boxes rotated-input reduction)."""
+    q = np.asarray(quads, dtype=np.float64)
+    # estimate_page_angle(rotate_boxes(q, +a)) == -a in this module's
+    # conventions, so rotating by +estimate undoes the skew
+    angle = estimate_page_angle(q)
+    if abs(angle) >= min_angle:
+        q = rotate_boxes(q, angle, min_angle=0.0)
+    return quads_to_straight(q)
+
+
 def extract_rotated_crop(img: np.ndarray, quad_rel: np.ndarray) -> np.ndarray:
     """Warp a rotated quad (4,2 relative coords, ordered top-left, top-right,
     bottom-right, bottom-left) out of the page — the extract_rcrops

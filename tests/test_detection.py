@@ -109,3 +109,13 @@ def test_bitmap_to_boxes_scores_from_pred():
     boxes = bitmap_to_boxes(pred, bitmap)
     assert boxes.shape[0] == 1
     assert boxes[0, 4] == pytest.approx(0.8, abs=1e-6)
+
+
+def test_postproc_presets():
+    from doctr_spark.operators.detection import DB_POSTPROC, FAST_POSTPROC, LINKNET_POSTPROC
+
+    proba = _map_with_rects(100, 200, [(10, 10, 60, 30)], fg=0.2)
+    # visible to FAST thresholds (bin .1) but below DB's bin_thresh .3
+    assert postprocess_proba_map(proba, **FAST_POSTPROC).shape[0] == 1
+    assert postprocess_proba_map(proba, **DB_POSTPROC).shape[0] == 0
+    assert LINKNET_POSTPROC["unclip_ratio"] == 1.0

@@ -136,3 +136,17 @@ def test_localization_and_ocr_metrics():
     loc, both = ocr_matches(gt, ["A", "B"], pred, ["A", "X", "C"])
     assert loc == 2 and both == 1
     assert localization_confusion(np.zeros((0, 4)), pred) == (0, 0.0)
+
+
+def test_rotate_boxes_and_deskew():
+    from doctr_spark.operators.geometry import deskewed_straight_boxes, rotate_boxes
+
+    # an axis-aligned quad rotated by 10 deg comes back axis-aligned
+    quad = np.array([[[0.4, 0.45], [0.6, 0.45], [0.6, 0.55], [0.4, 0.55]]])
+    skewed = rotate_boxes(quad, 10.0)
+    unskewed = rotate_boxes(skewed, -10.0)
+    assert np.allclose(unskewed, quad, atol=1e-12)
+    # small angles are a no-op
+    assert np.allclose(rotate_boxes(quad, 0.5), quad)
+    straight = deskewed_straight_boxes(skewed)
+    assert np.allclose(straight, [[0.4, 0.45, 0.6, 0.55]], atol=0.01)
