@@ -14,6 +14,7 @@ broadcast as literal arrays; ties break by (sim desc, id asc).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -66,18 +67,20 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
 
 
 def lsh_signature_col(vec_col, planes: np.ndarray):
-    """Bucket id = sign-bit signature against fixed hyperplanes, built from
-    literal arrays so the whole thing stays in codegen."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(F.transform(vec_col, lambda x: x.cast("double")), lit_plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+    """Bucket id = sign-bit signature against fixed hyperplanes, as an
+    Arrow-batched pandas UDF: one (batch x dim) @ (dim x planes) matmul per
+    batch — far cheaper than per-plane codegen expressions (a deliberate
+    use of the vectorized-UDF escape hatch for dense linear algebra)."""
+    planes_t = planes.T.copy()  # (dim, n_planes)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim) float32
+        bits = mat.astype(np.float64) @ planes_t >= 0  # (batch, n_planes)
+        return pd.Series(bits @ weights)
+
+    return sig(vec_col)
 
 
 def ann_lsh_topk(
