@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_order": EQ.q_turn_order,
         "topk_per_group": EQ.q_topk_per_group,
         "hourly_event_stats": EQ.q_hourly_event_stats,
+        "rollup_events": EQ.q_rollup_events,
+        "pivot_events": EQ.q_pivot_events,
         "streaming_sessionize": _q_streaming_sessionize,
         # --- text analysis / quality
         "token_stats": EQ.q_token_stats,
@@ -219,6 +221,8 @@ def oracle_sql() -> dict[str, str]:
         "turn_order": EQ.TURN_ORDER_ORACLE,
         "topk_per_group": EQ.TOPK_ORACLE,
         "hourly_event_stats": EQ.HOURLY_ORACLE,
+        "rollup_events": EQ.ROLLUP_ORACLE,
+        "pivot_events": EQ.PIVOT_ORACLE,
         "token_stats": EQ.TOKEN_STATS_ORACLE,
         "quality_score": EQ.QUALITY_ORACLE,
         "lang_id": EQ.LANG_ID_ORACLE,

@@ -866,3 +866,47 @@ HOCR_ORACLE = values_oracle(
     [(1, 2, 2, "bbox 20 10 60 20")],
     [("case_id", "BIGINT"), ("n_words", "BIGINT"), ("n_lines", "BIGINT"), ("first_bbox", "VARCHAR")],
 )
+
+
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (event_type -> grand total): grouping-sets
+    capability check with order-independent aggs."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.max("value"), 6).alias("max_value"))
+        .select(F.coalesce(F.col("event_type"), F.lit("__total__")).alias("event_type"), "n", "max_value")
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT coalesce(event_type, '__total__') AS event_type, count(*) AS n,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY ROLLUP (event_type)
+"""
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user counts of the three hottest event types as columns."""
+    ev = _read(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase"])
+    )
+    return out.select(
+        "user_id",
+        F.col("click").cast("long").alias("click"),
+        F.col("view").cast("long").alias("view"),
+        F.col("purchase").cast("long").alias("purchase"),
+    )
+
+
+PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
+FROM events GROUP BY user_id
+"""
