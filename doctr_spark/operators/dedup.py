@@ -221,3 +221,64 @@ def simhash_near_duplicates(hashes: DataFrame, max_hamming: int = 3, prefix_bits
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "hamming")
     )
+
+
+# ------------------------------------------------------- sequence packing
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: group documents into packs whose token
+    totals stay within ``budget`` (the training-data 'context-window
+    packing' op). First-fit over each partition's sorted slice — packing is
+    an approximation by design, so partition-local greedy is the scalable
+    choice (no global coordination; quality within a few percent of global
+    first-fit-decreasing for realistic length distributions).
+
+    Returns (id, n_tokens, pack_id, pack_slot); pack_id is globally unique
+    (partition_id * 2^32 + local pack index).
+    """
+    from collections.abc import Iterator as _It
+
+    src = df.select(F.col(id_col).alias("id"), F.col(token_col).cast("long").alias("n_tokens"))
+    if partitions:
+        src = src.repartition(partitions, "id")
+
+    def run(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        bins: list[int] = []  # remaining budget per open pack
+        out_rows = []
+        slot_counts: list[int] = []
+        for pdf in it:
+            for doc_id, n_tok in zip(pdf["id"], pdf["n_tokens"]):
+                n_tok = min(int(n_tok), budget)
+                placed = None
+                for b_idx, rem in enumerate(bins):
+                    if rem >= n_tok:
+                        placed = b_idx
+                        break
+                if placed is None:
+                    bins.append(budget)
+                    slot_counts.append(0)
+                    placed = len(bins) - 1
+                bins[placed] -= n_tok
+                out_rows.append(
+                    {
+                        "id": doc_id,
+                        "n_tokens": n_tok,
+                        "pack_id": (pid << 32) + placed,
+                        "pack_slot": slot_counts[placed],
+                    }
+                )
+                slot_counts[placed] += 1
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return src.mapInPandas(run, "id long, n_tokens long, pack_id long, pack_slot long")

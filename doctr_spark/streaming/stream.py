@@ -81,3 +81,31 @@ def sessionized_conversations(stream_df: DataFrame, gap: str = "30 minutes", wat
             "last_turn",
         )
     )
+
+
+def running_conversation_state(stream_df: DataFrame):
+    """Custom stateful operator: per-conversation running turn count +
+    latest turn index, via applyInPandasWithState (the escape hatch for
+    stateful semantics session_window can't express — e.g. monotonic
+    per-key counters across triggers)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "conv_id string, n_turns long, max_turn long"
+    state_schema = "n long, mx long"
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n], "max_turn": [mx]})
+
+    return (
+        stream_df.groupBy("conv_id")
+        .applyInPandasWithState(
+            update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -103,3 +103,52 @@ def test_streaming_window_aggs(spark, corpus, tmp_path_factory):
     )
     q2.awaitTermination(120)
     assert "conv_id" in spark.sql("select * from sessions").columns
+
+
+def test_stateful_running_counts(spark, corpus, tmp_path_factory):
+    from doctr_spark.streaming.stream import running_conversation_state
+
+    base = tmp_path_factory.mktemp("stream3")
+    in_dir = str(base / "in")
+    inp = corpus.drop("expected_text", "payload_kind")
+    inp.write.mode("overwrite").parquet(in_dir)
+
+    stream = stream_transcripts(spark, in_dir, max_files_per_trigger=100)
+    counts = running_conversation_state(stream)
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["conv_id"]: (r["n_turns"], r["max_turn"]) for r in spark.sql(
+        "select * from conv_state"
+    ).collect()}
+    expected = {
+        r["conv_id"]: (r["n"], r["mx"])
+        for r in inp.groupBy("conv_id").agg(
+            F.count("*").alias("n"), F.max("turn_idx").alias("mx")
+        ).collect()
+    }
+    # final state per conversation matches the batch rollup
+    for conv, (n, mx) in expected.items():
+        assert got[conv] == (n, mx)
+
+
+def test_pack_sequences(spark):
+    from doctr_spark.operators.dedup import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=1024, partitions=4)
+    pdf = packed.toPandas()
+    assert len(pdf) == 200  # every doc placed exactly once
+    sums = pdf.groupby("pack_id")["n_tokens"].sum()
+    assert (sums <= 1024).all()  # no pack exceeds the budget
+    # packing is reasonably tight: average fill above 70%
+    assert sums.mean() > 0.7 * 1024
+    # slots are contiguous within a pack
+    for _, grp in pdf.groupby("pack_id"):
+        assert sorted(grp["pack_slot"]) == list(range(len(grp)))
