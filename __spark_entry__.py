@@ -108,6 +108,16 @@ def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing of documents by token count (rows-only:
+    pack assignment is partition-local; pytest asserts the invariants)."""
+    from doctr_spark.operators.dedup import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")))
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=256, partitions=8)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctr_spark.operators.dedup import simhash64
 
@@ -192,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": EQ.q_jaccard_pairs,
         "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,
+        "pack_sequences": _q_pack_sequences,
         # --- similarity search
         "knn_cosine": EQ.q_knn_cosine,
         "ann_lsh": _q_ann_lsh,
