@@ -109,7 +109,7 @@ def run_queries(spark) -> dict[str, float]:
     return out
 
 
-def scaling_run(corpus_dir: str, cores: int, repeat: int = 3) -> float:
+def scaling_run(corpus_dir: str, cores: int, repeat: int | None = None) -> float:
     """Extraction throughput at a given parallelism (fresh session).
 
     The timed input is the corpus unioned ``repeat`` times so the job runs
@@ -118,6 +118,10 @@ def scaling_run(corpus_dir: str, cores: int, repeat: int = 3) -> float:
     from doctr_spark.plans.pipeline import extract_turns
     from doctr_spark.session import get_spark
 
+    if repeat is None:
+        # work scales with cores so every leg runs ~15-25s wall: short jobs
+        # at high parallelism measure scheduler+worker startup, not the op
+        repeat = max(3, (cores * 3) // 4)
     spark = get_spark(cores=cores, app_name=f"bench-scale-{cores}")
     try:
         inp = spark.read.parquet(corpus_dir).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
