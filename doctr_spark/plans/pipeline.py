@@ -40,10 +40,16 @@ from ..sources.payloads import decode_page_bundle, parse_tool_envelope
 
 EXTRACT_SCHEMA = (
     "conv_id string, turn_idx int, role string, ts timestamp, payload_kind string, "
-    "extracted_text string, n_pages int, n_boxes int, n_chars int, strip_ratio double, "
-    "min_conf double, words array<struct<value:string, confidence:double, xmin:double, "
+    "extracted_text string, n_pages int, n_boxes int, n_artefacts int, n_chars int, "
+    "strip_ratio double, min_conf double, "
+    "words array<struct<value:string, confidence:double, xmin:double, "
     "ymin:double, xmax:double, ymax:double, page_idx:int, line_idx:int, word_idx:int>>"
 )
+
+# a detected region whose raw-ink fill exceeds this is a non-text artefact
+# (words fill ~10% of their expanded box; solid blocks ~40-60%) — the
+# deterministic stand-in for the reference's ONNX ArtefactDetector plugin
+ARTEFACT_FILL_THRESH = 0.3
 
 PAGE_SEP = "\n\n\n\n"
 
@@ -62,11 +68,11 @@ def extract_turn_ocr(
     bundle: bytes,
     detect_orientation: bool = False,
     detection_hooks: list | None = None,
-) -> tuple[str, int, int, float, list[dict]]:
+) -> tuple[str, int, int, int, float, list[dict]]:
     """Decode a page bundle and run [orient ->] detect -> [hooks ->] crop ->
     recognize -> build per page.
 
-    Returns (document_text, n_pages, n_boxes, min_conf, words).
+    Returns (document_text, n_pages, n_boxes, n_artefacts, min_conf, words).
     ``detect_orientation`` mirrors docTR's optional orientation stage
     (default off = the assume_straight_pages fast path).
     ``detection_hooks``: callables (boxes:(N,5)) -> (N,5) applied to the
@@ -77,6 +83,7 @@ def extract_turn_ocr(
     page_texts: list[str] = []
     words_out: list[dict] = []
     n_boxes = 0
+    n_artefacts = 0
     min_conf = 1.0
     for page_idx, img in enumerate(pages):
         if detect_orientation:
@@ -87,7 +94,17 @@ def extract_turn_ocr(
         for hook in detection_hooks or ():
             boxes = hook(boxes)
         crops = extract_crops(img, boxes[:, :4])
-        keep = [i for i, c in enumerate(crops) if c.size > 0]  # zero-size drop
+        # zero-size drop + artefact split (solid non-text regions skip
+        # recognition and, like the reference's Artefact nodes, do not
+        # contribute to the rendered text)
+        keep = []
+        for i, c in enumerate(crops):
+            if c.size == 0:
+                continue
+            if float((c < 128).mean()) > ARTEFACT_FILL_THRESH:
+                n_artefacts += 1
+                continue
+            keep.append(i)
         boxes = boxes[keep]
         preds = [_recognize_word(crops[i], scale) for i in keep]
         values = [p[0] for p in preds]
@@ -100,7 +117,7 @@ def extract_turn_ocr(
         for w in built.words:
             w["page_idx"] = page_idx
             words_out.append(w)
-    return PAGE_SEP.join(page_texts), len(pages), n_boxes, min_conf, words_out
+    return PAGE_SEP.join(page_texts), len(pages), n_boxes, n_artefacts, min_conf, words_out
 
 
 def _extract_batch(pdf: pd.DataFrame, detect_orientation: bool = False) -> pd.DataFrame:
@@ -110,10 +127,12 @@ def _extract_batch(pdf: pd.DataFrame, detect_orientation: bool = False) -> pd.Da
     ):
         payload = parse_tool_envelope(tool) if tool else None
         words: list[dict] = []
-        n_pages, n_boxes, min_conf, strip_ratio = 0, 0, 1.0, 1.0
+        n_pages, n_boxes, n_artefacts, min_conf, strip_ratio = 0, 0, 0, 1.0, 1.0
         if payload is not None and payload[0] == "page_bundle":
             kind = "ocr"
-            extracted, n_pages, n_boxes, min_conf, words = extract_turn_ocr(payload[1], detect_orientation)
+            extracted, n_pages, n_boxes, n_artefacts, min_conf, words = extract_turn_ocr(
+                payload[1], detect_orientation
+            )
         elif text and looks_like_html(text):
             kind = "html"
             extracted = extract_main_text(text)
@@ -131,6 +150,7 @@ def _extract_batch(pdf: pd.DataFrame, detect_orientation: bool = False) -> pd.Da
                 "extracted_text": extracted,
                 "n_pages": n_pages,
                 "n_boxes": n_boxes,
+                "n_artefacts": n_artefacts,
                 "n_chars": len(extracted),
                 "strip_ratio": float(strip_ratio),
                 "min_conf": float(min_conf),
@@ -154,7 +174,7 @@ def _extract_batch(pdf: pd.DataFrame, detect_orientation: bool = False) -> pd.Da
         out_rows,
         columns=[
             "conv_id", "turn_idx", "role", "ts", "payload_kind", "extracted_text",
-            "n_pages", "n_boxes", "n_chars", "strip_ratio", "min_conf", "words",
+            "n_pages", "n_boxes", "n_artefacts", "n_chars", "strip_ratio", "min_conf", "words",
         ],
     )
 

@@ -76,10 +76,13 @@ def gen_turn(
     html_ratio: float = 0.3,
     scale: int = DEFAULT_SCALE,
     rot_ratio: float = 0.0,
+    artefact_ratio: float = 0.0,
 ) -> dict:
     """Deterministically build one turn row (incl. ground-truth text).
     ``rot_ratio``: fraction of OCR pages stored rotated by a random quarter
-    turn (exercises the orientation-detection stage)."""
+    turn (exercises the orientation-detection stage).
+    ``artefact_ratio``: fraction of OCR pages with a solid non-text block
+    appended (exercises artefact filtering; never changes expected text)."""
     seed = _h(f"turn/{conv_idx}/{turn_idx}")
     role = _ROLES[turn_idx % 3]
     kind_draw = (seed % 1000) / 1000.0
@@ -93,9 +96,13 @@ def gen_turn(
             pseed = _h(f"page/{conv_idx}/{turn_idx}/{p}")
             words = _pick(_OCR_BANK, pseed, 4 + pseed % 10)
             img, _ = render_page(words, scale=scale)
+            if artefact_ratio > 0 and (pseed % 991) / 991.0 < artefact_ratio:
+                img = _append_artefact(img, pseed, scale)
             if rot_ratio > 0 and (pseed % 997) / 997.0 < rot_ratio:
                 img = np.ascontiguousarray(np.rot90(img, 1 + pseed % 3))
             pages.append(img)
+            # artefacts are non-text elements: like the reference's
+            # Artefact nodes they do not contribute to page.render()
             page_texts.append("\n".join(expected_page_lines(words, scale=scale)))
         bundle = encode_page_bundle(pages, scale)
         return {
@@ -145,6 +152,21 @@ def gen_turn(
     }
 
 
+def _append_artefact(img: np.ndarray, seed: int, scale: int) -> np.ndarray:
+    """Extend the page downward and draw a solid ink block (logo/photo
+    stand-in) with enough clearance (9s) that the detector's vertical
+    fusing never bridges it into the text."""
+    h, w = img.shape
+    clear = 9 * scale
+    a_h = (10 + seed % 20) * scale
+    a_w = (30 + seed % 60) * scale
+    x0 = 8 * scale + (seed >> 3) % max(1, w - a_w - 16 * scale)
+    out = np.full((h + clear + a_h + 8 * scale, w), 255, dtype=np.uint8)
+    out[:h] = img
+    out[h + clear : h + clear + a_h, x0 : x0 + a_w] = 0
+    return out
+
+
 def gen_conversation(
     conv_idx: int,
     mean_turns: int = 8,
@@ -154,9 +176,13 @@ def gen_conversation(
     html_ratio: float = 0.3,
     scale: int = DEFAULT_SCALE,
     rot_ratio: float = 0.0,
+    artefact_ratio: float = 0.0,
 ) -> list[dict]:
     n = conv_length(conv_idx, mean_turns, long_every, long_turns)
-    return [gen_turn(conv_idx, t, ocr_ratio, html_ratio, scale, rot_ratio) for t in range(n)]
+    return [
+        gen_turn(conv_idx, t, ocr_ratio, html_ratio, scale, rot_ratio, artefact_ratio)
+        for t in range(n)
+    ]
 
 
 TRANSCRIPT_SCHEMA = (

@@ -95,3 +95,19 @@ def test_rotated_pages_with_orientation_detection(spark):
     j = res.join(gen.select("conv_id", "turn_idx", "expected_text"), ["conv_id", "turn_idx"])
     assert j.filter(F2.col("extracted_text") != F2.col("expected_text")).count() == 0
     gen.unpersist()
+
+
+def test_artefacts_filtered_and_counted(spark):
+    from doctr_spark.sources.corpus import make_transcripts
+    from pyspark.sql import functions as F3
+
+    gen = make_transcripts(
+        spark, 10, partitions=2, ocr_ratio=1.0, html_ratio=0.0, artefact_ratio=0.9
+    ).cache()
+    res = extract_turns(gen.drop("expected_text", "payload_kind"))
+    j = res.join(gen.select("conv_id", "turn_idx", "expected_text"), ["conv_id", "turn_idx"])
+    # text equality holds despite solid blocks on most pages
+    assert j.filter(F3.col("extracted_text") != F3.col("expected_text")).count() == 0
+    # and the artefacts were actually seen and counted
+    assert res.agg(F3.sum("n_artefacts")).collect()[0][0] > 0
+    gen.unpersist()
