@@ -65,3 +65,32 @@ def test_corpus_mix_and_skew():
     by_conv = pdf.groupby("conv_id").size()
     assert by_conv["conv-000000"] == 50  # hot key
     assert by_conv["conv-000010"] == 50
+
+
+def test_iceberg_gated_reader(spark, tmp_path):
+    from doctr_spark.sources.readers import iceberg_available, read_transcripts, write_results
+    from doctr_spark.sources.corpus import make_transcripts_pdf
+
+    assert iceberg_available(spark) is False  # no jars in this container
+    pdf = make_transcripts_pdf(3)
+    df = spark.createDataFrame(pdf[["conv_id", "turn_idx", "role", "text", "tool"]])
+    path = str(tmp_path / "t")
+    write_results(df, path, mode="overwrite")
+    back = read_transcripts(spark, path)
+    assert back.count() == len(pdf)
+
+
+def test_skewed_corpus_extraction(spark):
+    # FIXTURES.md §9: one hot conversation + many small ones
+    from doctr_spark.sources.corpus import make_transcripts
+    from doctr_spark.plans.pipeline import extract_turns
+    from pyspark.sql import functions as F
+
+    gen = make_transcripts(spark, 30, partitions=4, long_every=30, long_turns=300).cache()
+    inp = gen.drop("expected_text", "payload_kind")
+    res = extract_turns(inp, salt_partitions=16)
+    j = res.join(gen.select("conv_id", "turn_idx", "expected_text"), ["conv_id", "turn_idx"])
+    assert j.filter(F.col("extracted_text") != F.col("expected_text")).count() == 0
+    counts = {r["conv_id"]: r["n"] for r in res.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
+    assert counts["conv-000000"] == 300  # hot key fully processed
+    gen.unpersist()
