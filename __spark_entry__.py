@@ -133,6 +133,26 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 4).alias("sim"))
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: nearest-coarse-cell shard + nprobe query probing
+    (rows-only: approximate recall; pytest asserts copy-recall invariants)."""
+    from doctr_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4, dim=64)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 4).alias("sim"))
+
+
+def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (the 100 TB path; rows-only since
+    bucket recall < 1 — exact twin emb_neardup carries the oracle)."""
+    from doctr_spark.operators.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_duplicates(emb, threshold=0.4, method="lsh", n_planes=6, dim=64, n_tables=4)
+    return out.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+
+
 def _q_bundle_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctr_spark.operators.multimodal import page_bundle_metadata
     from doctr_spark.sources.corpus import make_transcripts
@@ -206,6 +226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search
         "knn_cosine": EQ.q_knn_cosine,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "emb_neardup": EQ.q_emb_neardup,
+        "emb_neardup_lsh": _q_emb_neardup_lsh,
+        # --- geometry metrics
+        "polygon_iou": EQ.q_polygon_iou,
         # --- multimodal
         "bundle_metadata": _q_bundle_metadata,
     }
@@ -242,6 +267,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": EQ.EXACT_DEDUP_ORACLE,
         "jaccard_pairs": EQ.JACCARD_ORACLE,
         "knn_cosine": EQ.KNN_ORACLE,
+        "emb_neardup": EQ.EMB_NEARDUP_ORACLE,
+        "polygon_iou": EQ.POLY_IOU_ORACLE,
         # rows-only (non-SQL-expressible): extract_ocr, minhash_neardup,
-        # simhash, ann_lsh, bundle_metadata, streaming_sessionize
+        # simhash, ann_lsh, ann_ivf, emb_neardup_lsh, bundle_metadata,
+        # streaming_sessionize
     }

@@ -155,3 +155,59 @@ def nms(boxes: np.ndarray, thresh: float = 0.5) -> list[int]:
         ious = box_iou_matrix(b[i : i + 1, :4], b[order[1:], :4])[0]
         order = order[1:][ious <= thresh]
     return keep
+
+
+def _shoelace_area(pts: np.ndarray) -> float:
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+
+def _clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman clip of convex polygon `subject` by convex `clip`
+    (both (K,2), CCW). Returns the intersection polygon (possibly empty)."""
+    # ensure clip is CCW (cross(e1, e2) > 0) so "inside" = left of each edge
+    e1, e2 = clip[1] - clip[0], clip[2] - clip[1]
+    if e1[0] * e2[1] - e1[1] * e2[0] < 0:
+        clip = clip[::-1]
+    out = subject.astype(np.float64)
+    n = len(clip)
+    for i in range(n):
+        if len(out) == 0:
+            break
+        a, b = clip[i], clip[(i + 1) % n]
+        edge = b - a
+        d = (out - a) @ np.array([-edge[1], edge[0]])  # >0 = inside (left)
+        nxt: list[np.ndarray] = []
+        m = len(out)
+        for j in range(m):
+            cur, dn = out[j], d[j]
+            prv, dp = out[j - 1], d[j - 1]
+            if dn >= 0:
+                if dp < 0:
+                    t = dp / (dp - dn)
+                    nxt.append(prv + t * (cur - prv))
+                nxt.append(cur)
+            elif dp >= 0:
+                t = dp / (dp - dn)
+                nxt.append(prv + t * (cur - prv))
+        out = np.asarray(nxt, dtype=np.float64).reshape(-1, 2)
+    return out
+
+
+def polygon_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N,4,2) x (M,4,2) -> (N,M) pairwise IoU of convex quads — exact
+    Sutherland-Hodgman clip + shoelace, no shapely.
+    (doctr/utils/metrics.py:152-178 semantics; detection quads are rotated
+    rectangles, hence convex, so the clip is exact.)"""
+    a = np.asarray(a, dtype=np.float64).reshape(-1, 4, 2)
+    b = np.asarray(b, dtype=np.float64).reshape(-1, 4, 2)
+    out = np.zeros((len(a), len(b)), dtype=np.float64)
+    areas_a = [_shoelace_area(p) for p in a]
+    areas_b = [_shoelace_area(p) for p in b]
+    for i, pa in enumerate(a):
+        for j, pb in enumerate(b):
+            inter_poly = _clip_convex(pa, pb)
+            inter = _shoelace_area(inter_poly) if len(inter_poly) >= 3 else 0.0
+            union = areas_a[i] + areas_b[j] - inter
+            out[i, j] = inter / union if union > 0 else 0.0
+    return out

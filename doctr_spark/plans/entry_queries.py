@@ -910,3 +910,60 @@ SELECT user_id,
        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
 FROM events GROUP BY user_id
 """
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs verify
+    baseline; the LSH-accelerated variant is the rows-only emb_neardup_lsh)."""
+    from ..operators.similarity import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = embedding_near_duplicates(emb, threshold=0.4, method="exact")
+    return out.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+
+
+EMB_NEARDUP_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(round(list_cosine_similarity(a.v, b.v), 6), 4) AS sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+
+
+# ---- convex-quad pairwise IoU (doctr/utils/metrics.py:152-178 polygon_iou;
+#      exact Sutherland-Hodgman + shoelace, fixtures with hand-computed IoU)
+POLY_IOU_FIXTURES = [
+    # (case_id, quad_a, quad_b, expected iou rounded 6)
+    (1, [[0, 0], [2, 0], [2, 2], [0, 2]], [[1, 0], [3, 0], [3, 2], [1, 2]], 0.333333),
+    (2, [[0, 0], [2, 0], [2, 2], [0, 2]], [[0, 0], [2, 0], [2, 2], [0, 2]], 1.0),
+    (3, [[0, 0], [2, 0], [2, 2], [0, 2]], [[5, 5], [6, 5], [6, 6], [5, 6]], 0.0),
+    (4, [[0, 0], [2, 0], [2, 2], [0, 2]], [[1, 0], [2, 1], [1, 2], [0, 1]], 0.5),
+    (5, [[0, 0], [4, 0], [4, 1], [0, 1]], [[0, 0], [1, 0], [1, 4], [0, 4]], 0.142857),
+]
+
+
+def q_polygon_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geometry import polygon_iou
+
+    src = spark.createDataFrame(
+        [(cid, json.dumps(a), json.dumps(b)) for cid, a, b, _ in POLY_IOU_FIXTURES],
+        "case_id long, quad_a string, quad_b string",
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ious = [
+                round(float(polygon_iou(np.asarray([json.loads(a)], dtype=np.float64),
+                                        np.asarray([json.loads(b)], dtype=np.float64))[0, 0]), 6)
+                for a, b in zip(pdf["quad_a"], pdf["quad_b"])
+            ]
+            yield pd.DataFrame({"case_id": pdf["case_id"], "iou": ious})
+
+    return src.mapInPandas(run, "case_id long, iou double")
+
+
+POLY_IOU_ORACLE = values_oracle(
+    [(cid, exp) for cid, _, _, exp in POLY_IOU_FIXTURES],
+    [("case_id", "BIGINT"), ("iou", "DOUBLE")],
+)

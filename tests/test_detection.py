@@ -119,3 +119,27 @@ def test_postproc_presets():
     assert postprocess_proba_map(proba, **FAST_POSTPROC).shape[0] == 1
     assert postprocess_proba_map(proba, **DB_POSTPROC).shape[0] == 0
     assert LINKNET_POSTPROC["unclip_ratio"] == 1.0
+
+
+def test_polygon_iou_values():
+    from doctr_spark.operators.geometry import polygon_iou
+
+    sq = lambda x0, y0, x1, y1: [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+    A = np.asarray([sq(0, 0, 2, 2)], dtype=np.float64)
+    B = np.asarray([sq(1, 0, 3, 2), sq(0, 0, 2, 2), sq(5, 5, 6, 6)], dtype=np.float64)
+    out = polygon_iou(A, B)
+    assert out.shape == (1, 3)
+    np.testing.assert_allclose(out[0], [1 / 3, 1.0, 0.0], atol=1e-12)
+    # rotated diamond inscribed in the square: inter = diamond area = 2
+    D = np.asarray([[[1, 0], [2, 1], [1, 2], [0, 1]]], dtype=np.float64)
+    np.testing.assert_allclose(polygon_iou(A, D), [[0.5]], atol=1e-12)
+    # orientation-invariant (clockwise inputs)
+    np.testing.assert_allclose(polygon_iou(A, D[:, ::-1, :]), [[0.5]], atol=1e-12)
+    np.testing.assert_allclose(polygon_iou(D[:, ::-1, :], A), [[0.5]], atol=1e-12)
+    # matches the straight-box IoU on axis-aligned quads
+    straight = polygon_iou(A, B)
+    from doctr_spark.operators.geometry import box_iou_matrix
+
+    boxes_a = np.asarray([[0, 0, 2, 2]], dtype=np.float64)
+    boxes_b = np.asarray([[1, 0, 3, 2], [0, 0, 2, 2], [5, 5, 6, 6]], dtype=np.float64)
+    np.testing.assert_allclose(straight, box_iou_matrix(boxes_a, boxes_b), atol=1e-12)

@@ -134,3 +134,55 @@ def test_fingerprint_matches_duckdb(spark, docs):
             "select md5(trim(regexp_replace(lower(?), '\\s+', ' ', 'g')))", params=[row["text"]]
         ).fetchone()[0]
         assert got[row["doc_id"]] == expected
+
+
+def test_ann_ivf_finds_copy(spark, vectors):
+    from doctr_spark.operators.similarity import ann_ivf_topk
+
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = ann_ivf_topk(vectors, queries, k=3, n_centroids=4, nprobe=2, dim=16).collect()
+    # 1 is a near-copy of 0: identical-direction vectors share the argmax
+    # cell, so the copy is always a candidate and must rank first
+    assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in out)
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_embedding_neardup_exact_matches_numpy(spark, vectors):
+    from doctr_spark.operators.similarity import embedding_near_duplicates
+
+    thr = 0.5
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_near_duplicates(vectors, threshold=thr, method="exact").collect()
+    }
+    pdf = vectors.toPandas().sort_values("vec_id")
+    M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    expected = {
+        (i, j): round(S[i, j], 6)
+        for i in range(len(M))
+        for j in range(i + 1, len(M))
+        if round(S[i, j], 6) >= thr
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9
+    assert (0, 1) in got  # the planted near-copy pair
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark, vectors):
+    from doctr_spark.operators.similarity import embedding_near_duplicates
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(vectors, threshold=0.5, method="exact").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            vectors, threshold=0.5, method="lsh", n_planes=4, dim=16, n_tables=4
+        ).collect()
+    }
+    assert lsh <= exact  # LSH affects recall only, never precision
+    assert (0, 1) in lsh  # near-identical vectors collide in every table
