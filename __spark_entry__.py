@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_stats": EQ.q_hourly_event_stats,
         "rollup_events": EQ.q_rollup_events,
         "pivot_events": EQ.q_pivot_events,
+        "cube_events": EQ.q_cube_events,
+        "asof_join": EQ.q_asof_join,
         "streaming_sessionize": _q_streaming_sessionize,
         # --- text analysis / quality
         "token_stats": EQ.q_token_stats,
@@ -259,6 +261,8 @@ def oracle_sql() -> dict[str, str]:
         "hourly_event_stats": EQ.HOURLY_ORACLE,
         "rollup_events": EQ.ROLLUP_ORACLE,
         "pivot_events": EQ.PIVOT_ORACLE,
+        "cube_events": EQ.CUBE_ORACLE,
+        "asof_join": EQ.ASOF_ORACLE,
         "token_stats": EQ.TOKEN_STATS_ORACLE,
         "quality_score": EQ.QUALITY_ORACLE,
         "lang_id": EQ.LANG_ID_ORACLE,

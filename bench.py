@@ -96,6 +96,8 @@ def run_queries(spark) -> dict[str, float]:
         "simhash",
         "knn_cosine",
         "ann_lsh",
+        "ann_ivf",
+        "emb_neardup_lsh",
     ]
     out = {}
     for name in headline:

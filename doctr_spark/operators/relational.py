@@ -1,0 +1,83 @@
+"""Relational operators Spark lacks natively, built from shuffle-once
+window primitives (no per-row Python anywhere).
+
+as-of join: the standard distributed formulation — tag both sides, union,
+one exchange on the join keys, then a running ``last(..., ignorenulls)``
+over (ts, side, tiebreak) ordering carries the most recent right-side
+values onto each left row. Equal timestamps sort right-before-left, so the
+join is backward-inclusive (right.ts <= left.ts), matching DuckDB/pandas
+``ASOF JOIN`` / ``merge_asof`` defaults. Cost = one shuffle + one sort,
+identical to any windowed aggregation; a 100 TB left table keyed on a
+high-cardinality column parallelizes over key ranges.
+
+The reference has no joins at all (SURVEY.md §2.12) — its closest analogue
+is the ordinal crop->prediction re-alignment (predictor/base.py:175-191);
+this operator is part of the beyond-reference training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    tiebreak_col: str | None = None,
+    suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For every left row, attach the most recent right row (per ``on``)
+    with ``right.ts <= left.ts`` — null-extended when none exists.
+
+    value_cols: right columns to carry (default: all non-key, non-ts).
+    tiebreak_col: deterministic order among right rows sharing a timestamp
+    (e.g. a unique event id); the largest wins, mirroring "latest record".
+    tolerance_seconds: drop carried values older than this horizon.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys and c != ts_col]
+    carried = [f"{c}{suffix}" for c in value_cols]
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tie"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(cc) for c, cc in zip(value_cols, carried)],
+    )
+    r_tag = right.select(
+        *[F.col(c) for c in keys],
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        (F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0)).alias("_tie"),
+        *[F.col(c).alias(cc) for c, cc in zip(value_cols, carried)],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys and c != ts_col],
+    )
+    both = l_tag.unionByName(r_tag.select(*l_tag.columns))
+
+    # one exchange on the keys; right rows sort before left at equal ts
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tie").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = both.select(
+        *both.columns,
+        *[F.last(cc, ignorenulls=True).over(w).alias(f"_c_{cc}") for cc in carried],
+        F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True).over(w).alias("_rts"),
+    ).filter(F.col("_side") == 1)
+
+    within = F.lit(True)
+    if tolerance_seconds is not None:
+        within = F.col("_rts").isNotNull() & (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_rts")) <= int(tolerance_seconds * 1e6)
+        )
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.when(within, F.col(f"_c_{cc}")).alias(cc) for cc in carried],
+    )

@@ -967,3 +967,57 @@ POLY_IOU_ORACLE = values_oracle(
     [(cid, exp) for cid, _, _, exp in POLY_IOU_FIXTURES],
     [("case_id", "BIGINT"), ("iou", "DOUBLE")],
 )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click event picks up the most recent prior-or-equal
+    purchase (per user), null when the user never purchased before."""
+    from ..operators.relational import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        clicks, purch, on="user_id", ts_col="ts", value_cols=["value"], tiebreak_col="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", F.round(F.col("value_asof"), 6).alias("last_purchase_value")
+    )
+
+
+ASOF_ORACLE = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, round(p.value, 6) AS last_purchase_value
+FROM clicks c LEFT JOIN LATERAL (
+  SELECT value FROM purch p
+  WHERE p.user_id = c.user_id AND p.ts <= c.ts
+  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+) p ON true
+"""
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, weekday): all four grouping-set combinations."""
+    ev = _read(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("dow", F.dayofweek("ts").cast("long"))
+        .cube("event_type", "dow")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    return out.select(
+        F.coalesce("event_type", F.lit("__all__")).alias("event_type"),
+        F.coalesce("dow", F.lit(-1)).alias("dow"),
+        "n",
+        "total_value",
+    )
+
+
+CUBE_ORACLE = """
+SELECT coalesce(event_type, '__all__') AS event_type,
+       coalesce(CAST(dayofweek(ts) + 1 AS BIGINT), -1) AS dow,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY CUBE (event_type, (CAST(dayofweek(ts) + 1 AS BIGINT)))
+"""

@@ -152,3 +152,36 @@ def test_pack_sequences(spark):
     # slots are contiguous within a pack
     for _, grp in pdf.groupby("pack_id"):
         assert sorted(grp["pack_slot"]) == list(range(len(grp)))
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from doctr_spark.operators.relational import asof_join
+
+    T = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    left = spark.createDataFrame(
+        [(1, 7, T("00:10:00")), (2, 7, T("00:20:00")), (3, 7, T("00:05:00")), (4, 9, T("00:30:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 7, T("00:10:00"), 1.5),   # equal ts: backward-inclusive
+            (101, 7, T("00:10:00"), 2.5),   # same ts, larger id wins the tie
+            (102, 7, T("00:15:00"), 9.0),
+            (103, 8, T("00:00:00"), 7.0),   # other user: never carried
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    value_cols=["value"], tiebreak_col="event_id")
+    got = {r["event_id"]: r["value_asof"] for r in out.collect()}
+    assert got == {1: 2.5, 2: 9.0, 3: None, 4: None}
+    assert out.count() == left.count()  # left join: every left row survives
+
+    # tolerance: carried value expires beyond the horizon
+    tol = asof_join(left, right, on="user_id", ts_col="ts",
+                    value_cols=["value"], tiebreak_col="event_id",
+                    tolerance_seconds=120.0)
+    got_tol = {r["event_id"]: r["value_asof"] for r in tol.collect()}
+    assert got_tol == {1: 2.5, 2: None, 3: None, 4: None}  # 00:20 is 5min after 00:15
