@@ -1021,3 +1021,73 @@ SELECT coalesce(event_type, '__all__') AS event_type,
        count(*) AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY CUBE (event_type, (CAST(dayofweek(ts) + 1 AS BIGINT)))
 """
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the shipdate filter and 7-column
+    projection push into the parquet scan; partial aggregation combines
+    map-side so the exchange carries only (flag,status) x partial rows."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-lite: lineitem |>< orders |>< customer |>< nation. The two
+    dimension sides (customer, nation) broadcast; the single shuffle join is
+    lineitem-orders on orderkey — at 100 TB that is the only exchange whose
+    width tracks the fact table, and AQE handles orderkey skew."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+REVENUE_NATION_ORACLE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
