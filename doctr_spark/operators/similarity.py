@@ -104,6 +104,25 @@ def lsh_signature_col(vec_col, planes: np.ndarray):
     return sig(vec_col)
 
 
+def lsh_multi_signature_col(vec_col, planes_stack: np.ndarray):
+    """Per-table bucket ids for ALL tables in one Arrow pass: a single
+    (batch x dim) @ (dim x tables*planes) matmul, reshaped to (batch,
+    tables). One UDF stage + one (table, bucket)-keyed join replaces
+    n_tables separate signature stages and joins — same buckets, ~n_tables
+    fewer Python stage launches."""
+    n_tables, n_planes, dim = planes_stack.shape
+    flat = planes_stack.reshape(n_tables * n_planes, dim).T.copy()  # (dim, T*P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sig(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (mat @ flat >= 0).reshape(len(mat), n_tables, n_planes)
+        return pd.Series(list(bits @ weights))
+
+    return sig(vec_col)
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -129,16 +148,23 @@ def embedding_near_duplicates(
     if method == "exact":
         pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
-        parts = []
-        for t in range(n_tables):
-            planes = hyperplanes(dim, n_planes, seed=7 + t)
-            at = a.withColumn("bucket", lsh_signature_col(F.col("va"), planes))
-            bt = b.withColumn("bucket", lsh_signature_col(F.col("vb"), planes))
-            parts.append(at.join(bt, "bucket").filter(F.col("id_a") < F.col("id_b")))
-        pairs = parts[0]
-        for p in parts[1:]:
-            pairs = pairs.unionByName(p)
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        # all tables in one pass: explode per-table buckets, ONE equi-join
+        # on (tbl, bucket), score map-side after the bucket exchange, and
+        # dedupe only slim (id_a, id_b, sim) triples that already passed the
+        # threshold — vector payloads never cross the dedupe exchange. A
+        # pair colliding in k tables is scored k times (cheap matmul) but
+        # shuffled once, post-filter.
+        stack = np.stack([hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)])
+        at = a.select("id_a", "va", F.posexplode(lsh_multi_signature_col(F.col("va"), stack)).alias("tbl", "bucket"))
+        bt = b.select("id_b", "vb", F.posexplode(lsh_multi_signature_col(F.col("vb"), stack)).alias("tbl", "bucket"))
+        return (
+            at.join(bt, ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", cosine_pandas_col(F.col("va"), F.col("vb")))
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     else:
         raise ValueError(f"unknown method {method!r}")
     return (
@@ -203,12 +229,14 @@ def ann_ivf_topk(
         F.col(vec_col).alias("qv"),
         F.explode(ivf_cell_col(F.col(vec_col), cents, nprobe=nprobe)).alias("cell"),
     )
-    cands = (
+    # score before dedupe so the exchange carries slim triples, not vectors
+    scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine_pandas_col(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "sim")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.withColumn("sim", cosine_pandas_col(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -230,25 +258,27 @@ def ann_lsh_topk(
     """Approximate top-k: probe only corpus rows sharing an LSH bucket with
     the query in any of ``n_tables`` independent tables, then exact cosine
     rank within candidates."""
-    parts = []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed=7 + t)
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-            lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
-        )
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
-        )
-        parts.append(c.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id")))
-    cands = parts[0]
-    for p in parts[1:]:
-        cands = cands.unionByName(p)
-    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
-    scored = cands.withColumn("sim", cosine_pandas_col(F.col("qv"), F.col("cv")))
+    # one multi-table signature pass per side, ONE broadcast join on
+    # (tbl, bucket); score map-side, dedupe slim (query, neighbor, sim)
+    # triples — vectors never cross the dedupe exchange
+    stack = np.stack([hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)])
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.posexplode(lsh_multi_signature_col(F.col(vec_col), stack)).alias("tbl", "bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.posexplode(lsh_multi_signature_col(F.col(vec_col), stack)).alias("tbl", "bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine_pandas_col(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "sim")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
