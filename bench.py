@@ -98,6 +98,10 @@ def run_queries(spark) -> dict[str, float]:
         "ann_lsh",
         "ann_ivf",
         "emb_neardup_lsh",
+        "asof_join",
+        "cube_events",
+        "pricing_summary",
+        "revenue_by_nation",
     ]
     out = {}
     for name in headline:

@@ -102,8 +102,10 @@ MINHASH_PRIME = (1 << 61) - 1
 
 
 def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    # a < 2^31 and shingle hashes < 2^32, so a*x < 2^63 stays in native
+    # int64 — no Python-object bigint math in the hot loop
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MINHASH_PRIME, size=num_hashes, dtype=np.int64)
+    a = rng.integers(1, 1 << 31, size=num_hashes, dtype=np.int64)
     b = rng.integers(0, MINHASH_PRIME, size=num_hashes, dtype=np.int64)
     return a, b
 
@@ -128,9 +130,10 @@ def minhash_signatures(
             sigs = []
             for text in pdf[text_col].astype(str):
                 x = _shingle_hashes(text, shingle)
-                # (num_hashes, n_shingles) via int64 object math mod prime
-                vals = (np.outer(a, x).astype(object) + b[:, None]) % MINHASH_PRIME
-                sigs.append(vals.min(axis=1).astype(np.int64))
+                # (num_hashes, n_shingles) all-int64: a*x < 2^63, then two
+                # cheap mods keep every intermediate under 2^62
+                vals = ((a[:, None] * x[None, :]) % MINHASH_PRIME + b[:, None]) % MINHASH_PRIME
+                sigs.append(vals.min(axis=1))
             yield pd.DataFrame({"id": pdf[id_col].values, "sig": sigs})
 
     return df.select(id_col, text_col).mapInPandas(run, schema="id long, sig array<long>")
