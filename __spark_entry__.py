@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kie_render": EQ.q_kie_render,
         "orientation": EQ.q_orientation,
         "hocr_export": EQ.q_hocr_export,
+        "translate_vocab": EQ.q_translate,
         # --- relational builder analogues
         "sort_key_rank": EQ.q_sort_key_rank,
         "enclosing_bbox": EQ.q_enclosing_bbox,
@@ -254,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "kie_render": EQ.KIE_ORACLE,
         "orientation": EQ.ORIENTATION_ORACLE,
         "hocr_export": EQ.HOCR_ORACLE,
+        "translate_vocab": EQ.TRANSLATE_ORACLE,
         "sort_key_rank": EQ.SORT_KEY_RANK_ORACLE,
         "enclosing_bbox": EQ.ENCLOSING_BBOX_ORACLE,
         "gap_sessionize": EQ.GAP_SESSIONIZE_ORACLE,

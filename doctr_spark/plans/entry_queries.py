@@ -1091,3 +1091,36 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+# ---- vocab projection (reference translate: doctr/datasets/utils.py:35-66 —
+#      NFD-fold accents to the vocab's ascii, drop whitespace, '■' unknown)
+TRANSLATE_FIXTURES = [
+    (1, "héllo wörld", "english", "helloworld"),
+    (2, "Prix: 12,50 €", "french", "Prix:12,50€"),
+    (3, "naïve — café", "latin", "naive■cafe"),
+    (4, "ABC xyz 123", "digits", "■■■■■■123"),
+    (5, "Grüße!", "german", "Grüße!"),
+]
+
+
+def q_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vocabs import translate
+
+    src = spark.createDataFrame(
+        [(cid, s, v) for cid, s, v, _ in TRANSLATE_FIXTURES],
+        "case_id long, raw string, vocab string",
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [translate(s, v) for s, v in zip(pdf["raw"], pdf["vocab"])]
+            yield pd.DataFrame({"case_id": pdf["case_id"], "projected": out})
+
+    return src.mapInPandas(run, "case_id long, projected string")
+
+
+TRANSLATE_ORACLE = values_oracle(
+    [(cid, exp) for cid, _, _, exp in TRANSLATE_FIXTURES],
+    [("case_id", "BIGINT"), ("projected", "VARCHAR")],
+)
