@@ -101,57 +101,69 @@ def connected_components(bitmap: np.ndarray) -> list[tuple[int, int, int, int]]:
     rows = flat_starts // (w + 2)
     starts = flat_starts % (w + 2) - 1
     stops = flat_stops % (w + 2) - 1
-    runs: list[tuple[int, int, int]] = list(zip(rows.tolist(), starts.tolist(), stops.tolist()))
-    # per-row [start_idx, stop_idx) ranges into runs
-    row_run_ranges: list[tuple[int, int]] = []
+    n = len(rows)
+    if n == 0:
+        return []
     counts = np.bincount(rows, minlength=h)
     offsets = np.concatenate(([0], np.cumsum(counts)))
-    row_run_ranges = [(int(offsets[y]), int(offsets[y + 1])) for y in range(h)]
 
-    n = len(runs)
-    parent = list(range(n))
+    # --- edges between overlapping runs of consecutive rows, vectorized
+    # over the whole page at once. Runs are globally sorted by (row, start)
+    # and within-row disjoint, so composite keys row*(w+2)+coord are sorted
+    # ascending for both starts and stops; for each run j (row y, span
+    # [s,e)) the overlap candidates in row y-1 form the contiguous global
+    # index range [first run with stop >= s, last run with start <= e)
+    # clamped to row y-1's slice (one-pixel slack => 8-connectivity).
+    span = w + 2
+    ps_key = rows * span + starts
+    pe_key = rows * span + stops
+    prev_key = (rows - 1) * span
+    lo = np.searchsorted(pe_key, prev_key + starts - 1, side="right")
+    hi = np.searchsorted(ps_key, prev_key + stops, side="right")
+    lo = np.maximum(lo, offsets[np.maximum(rows - 1, 0)])
+    hi = np.minimum(hi, offsets[rows])
+    m = np.maximum(hi - lo, 0)
+    m[rows == 0] = 0
+    total = int(m.sum())
+    if total:
+        v = np.repeat(np.arange(n), m)
+        # ragged arange: concatenate(arange(lo_j, hi_j) for all j), no loop
+        keep = m > 0
+        lk, mk = lo[keep], m[keep]
+        steps = np.ones(total, dtype=np.int64)
+        heads = np.concatenate(([0], np.cumsum(mk)[:-1]))
+        steps[heads] = lk - np.concatenate(([0], lk[:-1] + mk[:-1] - 1))
+        u = np.cumsum(steps)
+    else:
+        u = v = np.empty(0, dtype=np.int64)
 
-    def find(i: int) -> int:
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
+    # --- min-label propagation with pointer jumping: converges to label =
+    # min run index of the component — the same root the old min-root
+    # union-find produced, so output order is unchanged
+    labels = np.arange(n)
+    while True:
+        prev = labels
+        if len(u):
+            m2 = np.minimum(labels[u], labels[v])
+            labels = labels.copy()
+            np.minimum.at(labels, u, m2)
+            np.minimum.at(labels, v, m2)
+        labels = np.minimum(labels, labels[labels])
+        if np.array_equal(labels, prev):
+            break
 
-    def union(i: int, j: int) -> None:
-        ri, rj = find(i), find(j)
-        if ri != rj:
-            parent[max(ri, rj)] = min(ri, rj)
-
-    for y in range(1, h):
-        a0, a1 = row_run_ranges[y - 1]
-        c0, c1 = row_run_ranges[y]
-        i, j = a0, c0
-        # two-pointer sweep over sorted runs; 8-connectivity => overlap with
-        # one-pixel diagonal slack
-        while i < a1 and j < c1:
-            _, s1, e1 = runs[i]
-            _, s2, e2 = runs[j]
-            if s1 < e2 + 1 and s2 < e1 + 1:  # touch or overlap (incl. diagonal)
-                union(i, j)
-            if e1 <= e2:
-                i += 1
-            else:
-                j += 1
-
-    boxes: dict[int, list[int]] = {}
-    order: list[int] = []
-    for idx, (y, s, e) in enumerate(runs):
-        root = find(idx)
-        if root not in boxes:
-            boxes[root] = [s, y, e - 1, y]
-            order.append(root)
-        else:
-            bb = boxes[root]
-            bb[0] = min(bb[0], s)
-            bb[1] = min(bb[1], y)
-            bb[2] = max(bb[2], e - 1)
-            bb[3] = max(bb[3], y)
-    return [tuple(boxes[r]) for r in order]  # type: ignore[misc]
+    # --- per-component bbox (inclusive), in raster order of the root run
+    roots, inv = np.unique(labels, return_inverse=True)
+    k = len(roots)
+    xmin = np.full(k, w, dtype=np.int64)
+    xmax = np.full(k, -1, dtype=np.int64)
+    ymin = np.full(k, h, dtype=np.int64)
+    ymax = np.full(k, -1, dtype=np.int64)
+    np.minimum.at(xmin, inv, starts)
+    np.maximum.at(xmax, inv, stops - 1)
+    np.minimum.at(ymin, inv, rows)
+    np.maximum.at(ymax, inv, rows)
+    return list(zip(xmin.tolist(), ymin.tolist(), xmax.tolist(), ymax.tolist()))
 
 
 # ------------------------------------------------------------ postprocess
