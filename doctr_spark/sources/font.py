@@ -227,26 +227,13 @@ def read_word_crop(crop: np.ndarray, scale: int, unknown: str = "■") -> str:
 
 def _column_spans(col_has_ink: np.ndarray, scale: int) -> list[tuple[int, int]]:
     """Maximal ink column spans separated by blank runs strictly wider than
-    ``scale`` px (intra-glyph blank columns are at most one cell wide)."""
-    spans: list[tuple[int, int]] = []
-    n = len(col_has_ink)
-    x = 0
-    while x < n:
-        if not col_has_ink[x]:
-            x += 1
-            continue
-        start = x
-        last_ink = x
-        while x < n:
-            if col_has_ink[x]:
-                last_ink = x
-                x += 1
-            else:
-                # measure blank run
-                run_start = x
-                while x < n and not col_has_ink[x]:
-                    x += 1
-                if x - run_start > scale or x == n:
-                    break
-        spans.append((start, last_ink + 1))
-    return spans
+    ``scale`` px (intra-glyph blank columns are at most one cell wide).
+    Vectorized: a span break is a gap between consecutive ink columns
+    exceeding ``scale`` blanks."""
+    idx = np.flatnonzero(col_has_ink)
+    if idx.size == 0:
+        return []
+    brk = np.flatnonzero(np.diff(idx) > scale + 1)
+    starts = np.concatenate(([idx[0]], idx[brk + 1]))
+    ends = np.concatenate((idx[brk], [idx[-1]])) + 1
+    return list(zip(starts.tolist(), ends.tolist()))
