@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         # --- geometry metrics
         "polygon_iou": EQ.q_polygon_iou,
+        "box_iou": EQ.q_box_iou,
+        "nms": EQ.q_nms,
         # --- multimodal
         "bundle_metadata": _q_bundle_metadata,
     }
@@ -279,6 +281,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": EQ.KNN_ORACLE,
         "emb_neardup": EQ.EMB_NEARDUP_ORACLE,
         "polygon_iou": EQ.POLY_IOU_ORACLE,
+        "box_iou": EQ.BOX_IOU_ORACLE,
+        "nms": EQ.NMS_ORACLE,
         # rows-only (non-SQL-expressible): extract_ocr, minhash_neardup,
         # simhash, ann_lsh, ann_ivf, emb_neardup_lsh, bundle_metadata,
         # streaming_sessionize

@@ -1124,3 +1124,71 @@ TRANSLATE_ORACLE = values_oracle(
     [(cid, exp) for cid, _, _, exp in TRANSLATE_FIXTURES],
     [("case_id", "BIGINT"), ("projected", "VARCHAR")],
 )
+
+
+# ---- greedy NMS + pairwise straight-box IoU (doctr/utils/metrics.py:124-216)
+NMS_BOXES = [
+    [0.1, 0.1, 0.4, 0.3, 0.9],
+    [0.12, 0.11, 0.42, 0.32, 0.8],
+    [0.5, 0.5, 0.8, 0.7, 0.95],
+    [0.52, 0.52, 0.82, 0.72, 0.6],
+    [0.1, 0.6, 0.3, 0.8, 0.5],
+]
+
+
+def q_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy score-ordered NMS over the fixture boxes: surviving indices in
+    keep order."""
+    from ..operators.geometry import nms
+
+    src = spark.createDataFrame([(1, json.dumps(NMS_BOXES))], "case_id long, boxes string")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for cid, bx in zip(pdf["case_id"], pdf["boxes"]):
+                keep = nms(np.asarray(json.loads(bx), dtype=np.float64), thresh=0.5)
+                rows.extend(
+                    {"case_id": cid, "keep_rank": r, "box_idx": k} for r, k in enumerate(keep)
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, "case_id long, keep_rank long, box_idx long")
+
+
+NMS_ORACLE = values_oracle(
+    [(1, 0, 2), (1, 1, 0), (1, 2, 4)],
+    [("case_id", "BIGINT"), ("keep_rank", "BIGINT"), ("box_idx", "BIGINT")],
+)
+
+IOU_A = [[0.1, 0.1, 0.4, 0.3], [0.5, 0.5, 0.8, 0.7]]
+IOU_B = [[0.12, 0.11, 0.42, 0.32], [0.52, 0.52, 0.82, 0.72], [0.9, 0.9, 1.0, 1.0]]
+
+
+def q_box_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geometry import box_iou_matrix
+
+    src = spark.createDataFrame(
+        [(1, json.dumps(IOU_A), json.dumps(IOU_B))], "case_id long, a string, b string"
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for cid, aj, bj in zip(pdf["case_id"], pdf["a"], pdf["b"]):
+                m = box_iou_matrix(np.asarray(json.loads(aj)), np.asarray(json.loads(bj)))
+                for i in range(m.shape[0]):
+                    for j in range(m.shape[1]):
+                        rows.append({"case_id": cid, "i": i, "j": j, "iou": round(float(m[i, j]), 6)})
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, "case_id long, i long, j long, iou double")
+
+
+BOX_IOU_ORACLE = values_oracle(
+    [
+        (1, 0, 0, 0.762178), (1, 0, 1, 0.0), (1, 0, 2, 0.0),
+        (1, 1, 0, 0.0), (1, 1, 1, 0.724138), (1, 1, 2, 0.0),
+    ],
+    [("case_id", "BIGINT"), ("i", "BIGINT"), ("j", "BIGINT"), ("iou", "DOUBLE")],
+)

@@ -111,3 +111,24 @@ def test_artefacts_filtered_and_counted(spark):
     # and the artefacts were actually seen and counted
     assert res.agg(F3.sum("n_artefacts")).collect()[0][0] > 0
     gen.unpersist()
+
+
+def test_extract_turns_null_columns(spark):
+    """NULL text/tool/ts must route to the plain path with empty output,
+    never crash the Arrow batch (real transcript tables have null turns)."""
+    from doctr_spark.plans.pipeline import extract_turns
+
+    rows = [
+        ("c1", 0, "user", None, None, None),
+        ("c1", 1, "user", "hello", None, None),
+        ("c1", 2, "user", None, "", None),
+        ("c1", 3, "user", "<html><body><p>x</p></body></html>", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {
+        r["turn_idx"]: (r["payload_kind"], r["extracted_text"])
+        for r in extract_turns(df).collect()
+    }
+    assert got == {0: ("plain", ""), 1: ("plain", "hello"), 2: ("plain", ""), 3: ("html", "x")}
