@@ -49,16 +49,71 @@ def run_extraction_checkpointed(
     out_dir: str,
     buckets: int = 8,
     max_buckets_this_run: int | None = None,
+    grouped: bool = False,
 ) -> dict:
     """Extract all turns, bucket by bucket, resuming past completed buckets.
 
     ``max_buckets_this_run`` lets tests simulate an interrupted run.
+    ``grouped=True`` runs ALL remaining buckets in one job (single input
+    scan + ``partitionBy(bucket)`` dynamic-overwrite write) instead of one
+    scan per bucket — the 100 TB shape: N remaining buckets cost one pass,
+    and a mid-job failure just leaves un-manifested partition dirs that the
+    next run dynamically overwrites. Per-bucket mode keeps the finest
+    retry/lineage granularity (each bucket commits independently).
     Returns a summary dict.
     """
     results_dir = os.path.join(out_dir, "results")
     manifest_dir = os.path.join(out_dir, "manifest")
     done = completed_buckets(spark, manifest_dir)
     bucketed = with_bucket(transcripts, buckets)
+
+    if grouped:
+        todo = [b for b in range(buckets) if b not in done]
+        if max_buckets_this_run is not None:
+            todo = todo[:max_buckets_this_run]
+        if todo:
+            part = bucketed.filter(F.col("bucket").isin(todo)).drop("bucket")
+            res = with_bucket(extract_turns(part), buckets)
+            (
+                res.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(results_dir)
+            )
+            try:
+                written = spark.read.parquet(results_dir).filter(F.col("bucket").isin(todo))
+                per_bucket = written.groupBy("bucket").agg(
+                    F.count("*").alias("n_turns"),
+                    F.countDistinct("conv_id").alias("n_convs"),
+                    F.coalesce(F.sum("n_boxes"), F.lit(0)).alias("n_boxes"),
+                    F.coalesce(F.sum("n_chars"), F.lit(0)).alias("n_chars"),
+                    F.coalesce(F.avg("strip_ratio"), F.lit(1.0)).alias("avg_strip_ratio"),
+                )
+            except Exception:  # fully-empty write: no parquet files to read
+                per_bucket = spark.createDataFrame(
+                    [], "bucket int, n_turns long, n_convs long, n_boxes long, n_chars long, avg_strip_ratio double"
+                )
+            # every todo bucket gets a manifest row — an empty bucket (no
+            # rows, so no partition dir) is still "done" with zero metrics,
+            # otherwise it would rerun on every resume
+            todo_df = spark.createDataFrame([(b,) for b in todo], "bucket int")
+            metrics = (
+                todo_df.join(per_bucket, "bucket", "left")
+                .na.fill({"n_turns": 0, "n_convs": 0, "n_boxes": 0, "n_chars": 0, "avg_strip_ratio": 1.0})
+                .withColumn("status", F.lit("done"))
+                .withColumn("completed_ts", F.current_timestamp())
+                .select(
+                    F.col("bucket").cast("int"),
+                    "n_turns", "n_convs", "n_boxes", "n_chars",
+                    "avg_strip_ratio", "status", "completed_ts",
+                )
+            )
+            metrics.write.mode("append").parquet(manifest_dir)
+        return {
+            "processed": todo,
+            "skipped": sorted(done),
+            "remaining": buckets - len(done) - len(todo),
+        }
 
     processed = []
     for b in range(buckets):

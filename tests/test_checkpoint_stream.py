@@ -185,3 +185,34 @@ def test_asof_join_semantics(spark):
                     tolerance_seconds=120.0)
     got_tol = {r["event_id"]: r["value_asof"] for r in tol.collect()}
     assert got_tol == {1: 2.5, 2: None, 3: None, 4: None}  # 00:20 is 5min after 00:15
+
+
+def test_checkpoint_resume_grouped(spark, corpus, tmp_path_factory):
+    """Grouped mode: all remaining buckets in ONE scan (partitionBy +
+    dynamic overwrite); interrupted run resumes without re-extracting done
+    buckets and without clobbering their partitions."""
+    out = str(tmp_path_factory.mktemp("ckpt_grouped"))
+    inp = corpus.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    total = inp.count()
+
+    s1 = run_extraction_checkpointed(
+        spark, inp, out, buckets=4, max_buckets_this_run=2, grouped=True
+    )
+    assert len(s1["processed"]) == 2 and s1["remaining"] == 2
+    assert completed_buckets(spark, f"{out}/manifest") == set(s1["processed"])
+
+    s2 = run_extraction_checkpointed(spark, inp, out, buckets=4, grouped=True)
+    assert len(s2["processed"]) == 2 and s2["remaining"] == 0
+    assert set(s2["skipped"]) == set(s1["processed"])
+
+    s3 = run_extraction_checkpointed(spark, inp, out, buckets=4, grouped=True)
+    assert s3["processed"] == [] and len(s3["skipped"]) == 4
+
+    res = read_extraction_results(spark, out)
+    assert res.count() == total
+    j = res.join(corpus.select("conv_id", "turn_idx", "expected_text"), ["conv_id", "turn_idx"])
+    assert j.filter(F.col("extracted_text") != F.col("expected_text")).count() == 0
+
+    manifest = spark.read.parquet(f"{out}/manifest")
+    assert manifest.filter(F.col("status") == "done").count() == 4
+    assert manifest.agg(F.sum("n_turns")).collect()[0][0] == total
