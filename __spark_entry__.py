@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _q_streaming_sessionize,
         # --- text analysis / quality
         "token_stats": EQ.q_token_stats,
+        "subword_tokens": EQ.q_subword_tokens,
         "quality_score": EQ.q_quality_score,
         "lang_id": EQ.q_lang_id,
         "string_match": EQ.q_string_match,
@@ -272,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": EQ.PRICING_ORACLE,
         "revenue_by_nation": EQ.REVENUE_NATION_ORACLE,
         "token_stats": EQ.TOKEN_STATS_ORACLE,
+        "subword_tokens": EQ.SUBWORD_ORACLE,
         "quality_score": EQ.QUALITY_ORACLE,
         "lang_id": EQ.LANG_ID_ORACLE,
         "string_match": EQ.STRING_MATCH_ORACLE,

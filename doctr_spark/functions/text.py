@@ -144,3 +144,23 @@ def string_match(a: Column, b: Column) -> tuple[Column, Column]:
     raw = (a == b).cast("int")
     caseless = (F.lower(a) == F.lower(b)).cast("int")
     return raw, caseless
+
+
+# GPT-2-style pre-tokenizer segments (lookahead-free so the Java-regex
+# Spark side and the RE2 DuckDB oracle scan identically): contractions,
+# optionally space-prefixed letter runs / digit runs / symbol runs.
+BPE_SEGMENT_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-token estimate: count of BPE pre-tokenizer segments (the
+    'BPE-ish regex' counter of the training-data stats suite; whitespace
+    runs themselves are not tokens)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SEGMENT_REGEX), 0))
+
+
+BPE_TOKEN_COUNT_SQL = (
+    "len(regexp_extract_all({c}, '"
+    + BPE_SEGMENT_REGEX.replace("'", "''").replace("{", "{{").replace("}", "}}")
+    + "'))"
+)

@@ -1192,3 +1192,29 @@ BOX_IOU_ORACLE = values_oracle(
     ],
     [("case_id", "BIGINT"), ("i", "BIGINT"), ("j", "BIGINT"), ("iou", "DOUBLE")],
 )
+
+
+def q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counts per document + whitespace-token counts
+    (both JVM-side regex; the subword estimate is the training-data token
+    budget stat)."""
+    from ..functions.text import bpe_token_count, token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+def _subword_oracle() -> str:
+    from ..functions.text import BPE_TOKEN_COUNT_SQL, TOKEN_COUNT_SQL
+
+    return (
+        "SELECT doc_id, CAST(" + TOKEN_COUNT_SQL.format(c="text") + " AS BIGINT) AS ws_tokens, "
+        "CAST(" + BPE_TOKEN_COUNT_SQL.format(c="text") + " AS BIGINT) AS bpe_tokens FROM documents"
+    )
+
+
+SUBWORD_ORACLE = _subword_oracle()

@@ -7,7 +7,7 @@ Cluster usage (the packaging path the north rule requires):
         scripts/run_extraction.py \
         --input /path/to/transcripts_parquet \
         --output /path/to/out \
-        --buckets 64 [--resume] [--salt-partitions N]
+        --buckets 64 [--per-bucket-scan] [--salt-partitions N]
 
 Local sandbox usage (no spark-submit needed):
 
@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--input", help="transcript parquet dir (conv_id, turn_idx, role, text, tool, ts)")
     ap.add_argument("--output", help="output dir (results/ + manifest/)")
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--per-bucket-scan", action="store_true", help="one input scan per bucket (finest retry granularity); default is grouped: one scan for all remaining buckets")
     ap.add_argument("--salt-partitions", type=int, default=0, help="explicit pre-UDF respread (0 = rely on input splits)")
     ap.add_argument("--demo", action="store_true", help="generate a small corpus and run end-to-end locally")
     args = ap.parse_args()
@@ -67,7 +68,7 @@ def main() -> None:
         transcripts = spark.read.parquet(args.input)
 
     t0 = time.time()
-    summary = run_extraction_checkpointed(spark, transcripts, out_dir, buckets=args.buckets)
+    summary = run_extraction_checkpointed(spark, transcripts, out_dir, buckets=args.buckets, grouped=not args.per_bucket_scan)
     res = read_extraction_results(spark, out_dir)
     n = res.count()
     dt = time.time() - t0

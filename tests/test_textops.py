@@ -186,3 +186,17 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, vectors):
     }
     assert lsh <= exact  # LSH affects recall only, never precision
     assert (0, 1) in lsh  # near-identical vectors collide in every table
+
+
+def test_bpe_token_count(spark):
+    from doctr_spark.functions.text import bpe_token_count
+
+    rows = [
+        (1, "don't stop"),          # don + 't + " stop" = 3
+        (2, "hello,  world!"),      # hello + , + " world" + ! = 4
+        (3, "abc123 x"),            # abc + 123 + " x" = 3
+        (4, ""),                    # 0
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["n"] for r in df.select("id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 3, 2: 4, 3: 3, 4: 0}
