@@ -239,6 +239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_iou": EQ.q_polygon_iou,
         "box_iou": EQ.q_box_iou,
         "nms": EQ.q_nms,
+        "page_angle": EQ.q_page_angle,
+        "remove_padding": EQ.q_remove_padding,
+        "ocr_quality": EQ.q_ocr_quality,
         # --- multimodal
         "bundle_metadata": _q_bundle_metadata,
     }
@@ -285,6 +288,8 @@ def oracle_sql() -> dict[str, str]:
         "polygon_iou": EQ.POLY_IOU_ORACLE,
         "box_iou": EQ.BOX_IOU_ORACLE,
         "nms": EQ.NMS_ORACLE,
+        "page_angle": EQ.PAGE_ANGLE_ORACLE,
+        "remove_padding": EQ.REMOVE_PADDING_ORACLE,
         # rows-only (non-SQL-expressible): extract_ocr, minhash_neardup,
         # simhash, ann_lsh, ann_ivf, emb_neardup_lsh, bundle_metadata,
         # streaming_sessionize

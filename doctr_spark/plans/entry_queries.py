@@ -1218,3 +1218,87 @@ def _subword_oracle() -> str:
 
 
 SUBWORD_ORACLE = _subword_oracle()
+
+
+# ---- page-angle estimation (utils/geometry.py:350-365: median arctan of
+#      summed top/bottom edge deltas) and padding inversion
+#      (detection/_utils/base.py:12-63: box' -> (box - offset)/scale, clip)
+ANGLE_FIXTURES = [
+    (1, [[[0.1, 0.1], [0.3, 0.2], [0.3, 0.3], [0.1, 0.2]]], -26.565051),
+    (2, [[[0.1, 0.1], [0.3, 0.1], [0.3, 0.2], [0.1, 0.2]],
+         [[0.4, 0.4], [0.6, 0.45], [0.6, 0.55], [0.4, 0.5]]], -7.018122),
+]
+
+
+def q_page_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geometry import estimate_page_angle
+
+    src = spark.createDataFrame(
+        [(cid, json.dumps(p)) for cid, p, _ in ANGLE_FIXTURES], "case_id long, polys string"
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            angles = [
+                round(estimate_page_angle(np.asarray(json.loads(p), dtype=np.float64)), 6)
+                for p in pdf["polys"]
+            ]
+            yield pd.DataFrame({"case_id": pdf["case_id"], "angle_deg": angles})
+
+    return src.mapInPandas(run, "case_id long, angle_deg double")
+
+
+PAGE_ANGLE_ORACLE = values_oracle(
+    [(cid, exp) for cid, _, exp in ANGLE_FIXTURES],
+    [("case_id", "BIGINT"), ("angle_deg", "DOUBLE")],
+)
+
+
+def q_remove_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invert aspect-preserving pad on detected boxes — also expressible as
+    plain arithmetic, so the oracle derives it in SQL rather than VALUES."""
+    from ..operators.preprocess import remove_padding
+
+    boxes = [(0, 0.25, 0.1, 0.75, 0.3), (1, 0.0, 0.5, 1.0, 0.9)]
+    src = spark.createDataFrame(boxes, "box_id long, xmin double, ymin double, xmax double, ymax double")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            arr = pdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy(dtype=np.float64)
+            out = remove_padding(arr, (0.25, 0.0, 0.5, 1.0))
+            yield pd.DataFrame(
+                {
+                    "box_id": pdf["box_id"],
+                    "xmin": np.round(out[:, 0], 6),
+                    "ymin": np.round(out[:, 1], 6),
+                    "xmax": np.round(out[:, 2], 6),
+                    "ymax": np.round(out[:, 3], 6),
+                }
+            )
+
+    return src.mapInPandas(run, "box_id long, xmin double, ymin double, xmax double, ymax double")
+
+
+REMOVE_PADDING_ORACLE = """
+WITH src(box_id, xmin, ymin, xmax, ymax) AS (
+  VALUES (CAST(0 AS BIGINT), 0.25, 0.1, 0.75, 0.3), (CAST(1 AS BIGINT), 0.0, 0.5, 1.0, 0.9)
+)
+SELECT box_id,
+       round(least(greatest((xmin - 0.25) / 0.5, 0), 1), 6) AS xmin,
+       round(least(greatest(ymin / 1.0, 0), 1), 6) AS ymin,
+       round(least(greatest((xmax - 0.25) / 0.5, 0), 1), 6) AS xmax,
+       round(least(greatest(ymax / 1.0, 0), 1), 6) AS ymax
+FROM src
+"""
+
+
+def q_ocr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end per-payload-kind equality report over a generated mixed
+    corpus (rows-only: the corpus carries its own ground truth)."""
+    from ..functions.metrics import extraction_quality_report
+    from ..plans.pipeline import extract_turns
+    from ..sources.corpus import make_transcripts
+
+    gen = make_transcripts(spark, 16, partitions=4)
+    out = extract_turns(gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    return extraction_quality_report(out, gen.select("conv_id", "turn_idx", "expected_text"))
