@@ -36,3 +36,18 @@ def test_extract_ocr_exact_match(spark):
 def test_sample_queries_run(spark, name):
     df = entry.queries()[name](spark, SF_DIR)
     assert df.count() > 0
+
+
+def test_every_query_executes(spark):
+    """Driver smoke parity: every queries() entry must run at sf0.001 and
+    produce a stable schema (>=0 rows) — catches breakage in rows-only
+    queries the oracle gate never touches."""
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, SF_DIR)
+            df.limit(5).collect()
+            assert len(df.columns) > 0
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, repr(e)[:200]))
+    assert not failures, failures
