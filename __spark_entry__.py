@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis / quality
         "token_stats": EQ.q_token_stats,
         "subword_tokens": EQ.q_subword_tokens,
+        "deterministic_sample": EQ.q_deterministic_sample,
+        "corpus_stats": EQ.q_corpus_stats,
         "quality_score": EQ.q_quality_score,
         "lang_id": EQ.q_lang_id,
         "string_match": EQ.q_string_match,
@@ -277,6 +279,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": EQ.REVENUE_NATION_ORACLE,
         "token_stats": EQ.TOKEN_STATS_ORACLE,
         "subword_tokens": EQ.SUBWORD_ORACLE,
+        "deterministic_sample": EQ.SAMPLE_ORACLE,
+        "corpus_stats": EQ.CORPUS_STATS_ORACLE,
         "quality_score": EQ.QUALITY_ORACLE,
         "lang_id": EQ.LANG_ID_ORACLE,
         "string_match": EQ.STRING_MATCH_ORACLE,

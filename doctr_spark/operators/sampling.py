@@ -1,0 +1,37 @@
+"""Deterministic corpus sampling + composition stats.
+
+Training-data curation needs repeatable samples: the same row set on every
+run, every engine, any partitioning — no RNG state, no seed plumbing. The
+operator keeps a row when the first 4 hex chars of ``md5(id)`` fall below
+``rate * 0xffff`` — a pure function of the id, so it pushes down to the
+scan as an ordinary filter, composes with stratification (group rates), and
+has a byte-identical DuckDB/SQL twin (md5 hex is engine-portable where
+hash() functions are not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_threshold_hex(rate: float) -> str:
+    """4-hex-digit threshold for a [0,1] sampling rate (floor semantics)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * 0x10000), 0xFFFF), "04x")
+
+
+def sample_predicate(id_col, rate: float):
+    """Boolean column: deterministically keep ~``rate`` of rows by id."""
+    return F.substring(F.md5(id_col.cast("string")), 1, 4) < F.lit(sample_threshold_hex(rate))
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """~``rate`` deterministic sample, stable across runs/engines/partitions."""
+    return df.filter(sample_predicate(F.col(id_col), rate))
+
+
+def sample_predicate_sql(id_expr: str, rate: float) -> str:
+    """DuckDB/ANSI twin of :func:`sample_predicate`."""
+    return f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4) < '{sample_threshold_hex(rate)}'"

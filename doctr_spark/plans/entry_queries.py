@@ -1302,3 +1302,50 @@ def q_ocr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     gen = make_transcripts(spark, 16, partitions=4)
     out = extract_turns(gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts"))
     return extraction_quality_report(out, gen.select("conv_id", "turn_idx", "expected_text"))
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% repeatable sample of documents by md5-prefix threshold — same
+    rows every run, any engine, any partitioning (RNG-free curation)."""
+    from ..operators.sampling import deterministic_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.25).select("doc_id", "source", "lang")
+
+
+def _sample_oracle() -> str:
+    from ..operators.sampling import sample_predicate_sql
+
+    return f"SELECT doc_id, source, lang FROM documents WHERE {sample_predicate_sql('doc_id', 0.25)}"
+
+
+SAMPLE_ORACLE = _sample_oracle()
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition: per (source, lang) doc counts, char volume, and
+    whitespace-token volume — the curation dashboard aggregate."""
+    from ..functions.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        )
+    )
+
+
+def _corpus_stats_oracle() -> str:
+    from ..functions.text import TOKEN_COUNT_SQL
+
+    return (
+        "SELECT source, lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+        "CAST(sum(" + TOKEN_COUNT_SQL.format(c="text") + ") AS BIGINT) AS total_tokens "
+        "FROM documents GROUP BY source, lang"
+    )
+
+
+CORPUS_STATS_ORACLE = _corpus_stats_oracle()

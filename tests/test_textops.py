@@ -200,3 +200,19 @@ def test_bpe_token_count(spark):
     df = spark.createDataFrame(rows, "id long, text string")
     got = {r["id"]: r["n"] for r in df.select("id", bpe_token_count(F.col("text")).alias("n")).collect()}
     assert got == {1: 3, 2: 4, 3: 3, 4: 0}
+
+
+def test_deterministic_sample_stability(spark, docs):
+    from doctr_spark.operators.sampling import deterministic_sample, sample_threshold_hex
+
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in deterministic_sample(big, "doc_id", 0.25).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(big.repartition(7), "doc_id", 0.25).collect()}
+    assert s1 == s2                       # partitioning-independent
+    assert 0.18 < len(s1) / 2000 < 0.32   # ~rate
+    sub = {r["doc_id"] for r in deterministic_sample(big, "doc_id", 0.1).collect()}
+    assert sub <= s1                      # nested rates => nested samples
+    assert sample_threshold_hex(0.0) == "0000" and sample_threshold_hex(1.0) == "ffff"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sample_threshold_hex(1.5)
