@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subword_tokens": EQ.q_subword_tokens,
         "deterministic_sample": EQ.q_deterministic_sample,
         "corpus_stats": EQ.q_corpus_stats,
+        "quality_filter": EQ.q_quality_filter,
         "quality_score": EQ.q_quality_score,
         "lang_id": EQ.q_lang_id,
         "string_match": EQ.q_string_match,
@@ -281,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "subword_tokens": EQ.SUBWORD_ORACLE,
         "deterministic_sample": EQ.SAMPLE_ORACLE,
         "corpus_stats": EQ.CORPUS_STATS_ORACLE,
+        "quality_filter": EQ.QUALITY_FILTER_ORACLE,
         "quality_score": EQ.QUALITY_ORACLE,
         "lang_id": EQ.LANG_ID_ORACLE,
         "string_match": EQ.STRING_MATCH_ORACLE,

@@ -1349,3 +1349,40 @@ def _corpus_stats_oracle() -> str:
 
 
 CORPUS_STATS_ORACLE = _corpus_stats_oracle()
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter: keep documents in the top half of their source's
+    quality distribution (percent_rank window per source — one exchange on
+    the group key; at 100 TB the per-source sort is the only cost and AQE
+    splits hot sources)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source", quality_score(F.col("text")).alias("q"))
+    w = W.partitionBy("source").orderBy(F.asc("q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .select("doc_id", "source", "q", F.round("pr", 6).alias("pr"))
+    )
+
+
+def _quality_filter_oracle() -> str:
+    from ..functions.text import quality_score_sql
+
+    q = quality_score_sql("text")
+    return f"""
+WITH scored AS (SELECT doc_id, source, {q} AS q FROM documents),
+ranked AS (
+  SELECT doc_id, source, q,
+         percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS pr
+  FROM scored
+)
+SELECT doc_id, source, q, round(pr, 6) AS pr FROM ranked WHERE pr >= 0.5
+"""
+
+
+QUALITY_FILTER_ORACLE = _quality_filter_oracle()
