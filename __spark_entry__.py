@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- extraction pipeline (flagship + components)
         "extract_docs": _q_extract_docs,
         "extract_ocr": _q_extract_ocr,
+        "conversation_docs": EQ.q_conversation_docs,
         # --- kernel operators (reference-fixture goldens)
         "merge_strings": EQ.q_merge_strings,
         "ctc_decode": EQ.q_ctc_decode,
@@ -253,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_docs": _EXTRACT_DOCS_ORACLE,
+        "conversation_docs": EQ.CONVERSATION_DOCS_ORACLE,
         "merge_strings": EQ.MERGE_ORACLE,
         "ctc_decode": EQ.CTC_ORACLE,
         "html_strip": EQ.HTML_ORACLE,

@@ -1386,3 +1386,30 @@ SELECT doc_id, source, q, round(pr, 6) AS pr FROM ranked WHERE pr >= 0.5
 
 
 QUALITY_FILTER_ORACLE = _quality_filter_oracle()
+
+
+def q_conversation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each conversation's extracted turns into one document
+    (turns joined in turn_idx order by the page separator '\\n\\n\\n\\n' —
+    Document.render() semantics at conversation granularity)."""
+    import __spark_entry__ as entry_mod
+
+    from ..plans.pipeline import conversation_documents, extract_turns
+
+    transcripts = entry_mod._transcripts_from_documents(spark, sf_dir)
+    out = conversation_documents(extract_turns(transcripts))
+    return out.select("conv_id", "n_turns", "n_chars", "document_text")
+
+
+CONVERSATION_DOCS_ORACLE = """
+WITH turns AS (
+  SELECT 'doc-' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') AS conv_id,
+         row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1 AS turn_idx,
+         text AS extracted_text
+  FROM documents
+)
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(length(extracted_text)) AS BIGINT) AS n_chars,
+       string_agg(extracted_text, e'\n\n\n\n' ORDER BY turn_idx) AS document_text
+FROM turns GROUP BY conv_id
+"""
