@@ -132,3 +132,26 @@ def test_extract_turns_null_columns(spark):
         for r in extract_turns(df).collect()
     }
     assert got == {0: ("plain", ""), 1: ("plain", "hello"), 2: ("plain", ""), 3: ("html", "x")}
+
+
+def test_extract_turns_degenerate_inputs(spark):
+    """Empty input, malformed tool envelopes, and duplicate keys must never
+    crash or silently drop rows."""
+    from doctr_spark.plans.pipeline import conversation_documents, extract_turns, ordered_turns
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    empty = spark.createDataFrame([], schema)
+    assert extract_turns(empty).count() == 0
+    assert conversation_documents(extract_turns(empty)).count() == 0
+
+    dup = spark.createDataFrame(
+        [("c", 0, "user", "a", "", None), ("c", 0, "user", "b", "", None)], schema
+    )
+    assert ordered_turns(extract_turns(dup)).count() == 2
+
+    bad = spark.createDataFrame(
+        [("c", 0, "user", "t", "{not json", None), ("c", 1, "user", "t", '{"kind":"x"}', None)],
+        schema,
+    )
+    rows = {(r["turn_idx"], r["payload_kind"], r["extracted_text"]) for r in extract_turns(bad).collect()}
+    assert rows == {(0, "plain", "t"), (1, "plain", "t")}
