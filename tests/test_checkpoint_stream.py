@@ -216,3 +216,63 @@ def test_checkpoint_resume_grouped(spark, corpus, tmp_path_factory):
     manifest = spark.read.parquet(f"{out}/manifest")
     assert manifest.filter(F.col("status") == "done").count() == 4
     assert manifest.agg(F.sum("n_turns")).collect()[0][0] == total
+
+
+def test_streaming_watermark_bounds_state(spark, tmp_path_factory):
+    """Watermark semantics this engine guarantees (Spark 4.1): windows whose
+    end falls behind the watermark are EVICTED from state (bounded memory at
+    10^12-turn scale), while late-but-within-watermark rows still merge into
+    their window. Rows beyond the watermark are best-effort dropped — Spark
+    emits an already-expired window once without ever keeping state for it.
+    File arrival order is pinned by mtime (one file per trigger)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+    from datetime import datetime
+
+    base = tmp_path_factory.mktemp("wm")
+    in_dir = base / "in"
+    in_dir.mkdir()
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    T = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+
+    def write_file(rows, name):
+        tmp = str(base / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], str(in_dir / name))
+
+    write_file([("c1", i, "user", "x", "", T(f"12:0{i}:00")) for i in range(5)], "a.parquet")
+    _time.sleep(1.1)
+    write_file(
+        [
+            ("c2", 0, "user", "far_late", "", T("09:00:00")),   # 2.5h behind watermark
+            ("c2", 1, "user", "slightly_late", "", T("12:04:30")),  # within watermark
+        ],
+        "b.parquet",
+    )
+
+    stream = stream_transcripts(spark, str(in_dir), max_files_per_trigger=1)
+    agg = turn_rate_by_window(stream, window="10 minutes", watermark="30 minutes")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wm_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # state never grows past the one live window: the 09:00 window is
+    # evicted immediately (its end is far behind the watermark)
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"] for p in q.recentProgress if p["stateOperators"]
+    ]
+    assert state_rows and max(state_rows) == 1, state_rows
+
+    final = {}
+    for r in spark.sql("select * from wm_counts").collect():
+        key = r["window_start"].strftime("%H:%M")
+        final[key] = max(final.get(key, 0), r["n_turns"])
+    assert final["12:00"] == 6, final   # within-watermark late row merged
+    assert final.get("09:00", 1) == 1, final  # expired window never accumulates
