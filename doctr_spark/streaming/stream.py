@@ -49,8 +49,13 @@ def run_stream_to_parquet(
 
 
 def turn_rate_by_window(stream_df: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
-    """Watermarked tumbling-window turn counts per role (late data beyond
-    the watermark is dropped deterministically)."""
+    """Watermarked tumbling-window turn counts per role.
+
+    Watermark guarantees (verified, Spark 4.1): state for windows behind
+    the watermark is evicted every trigger (bounded memory — the property
+    that matters at 10^12 turns); late rows within the watermark merge into
+    their window; rows beyond it are best-effort dropped — Spark may emit
+    an already-expired window once but never keeps state for it."""
     return (
         stream_df.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("role"))
