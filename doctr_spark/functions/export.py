@@ -110,3 +110,33 @@ def export_hocr(words: list[dict], dims: tuple[int, int], page_idx: int = 0, lan
         out.append("</span>")
     out.extend(["</p>", "</div>", "</div>", "</body>", "</html>"])
     return "\n".join(out)
+
+
+def export_kie_xml(
+    predictions: dict[str, list[dict]], dims: tuple[int, int], page_idx: int = 0
+) -> str:
+    """hOCR-style XML for a KIE page: one ocr_carea per predicted class,
+    flat ocrx_word spans (no line grouping — KIE predictions are flat
+    per-class lists, reference io/elements.py:496-590 semantics)."""
+    h, w = dims
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<html xmlns="http://www.w3.org/1999/xhtml" xml:lang="en">',
+        "<body>",
+        f'<div class="ocr_page" id="page_{page_idx + 1}" title="image; bbox 0 0 {w} {h}; ppageno 0">',
+    ]
+    for cls_idx, cls in enumerate(sorted(predictions)):
+        out.append(
+            f'<div class="ocr_carea" id="{escape(cls)}_{page_idx + 1}_{cls_idx + 1}">'
+        )
+        for widx, word in enumerate(predictions[cls]):
+            x0, y0 = int(word["xmin"] * w), int(word["ymin"] * h)
+            x1, y1 = int(word["xmax"] * w), int(word["ymax"] * h)
+            conf = int(round(word.get("confidence", 1.0) * 100))
+            out.append(
+                f'<span class="ocrx_word" id="word_{page_idx + 1}_{cls_idx + 1}_{widx + 1}" '
+                f'title="bbox {x0} {y0} {x1} {y1}; x_wconf {conf}">{escape(word["value"])}</span>'
+            )
+        out.append("</div>")
+    out.extend(["</div>", "</body>", "</html>"])
+    return "\n".join(out)

@@ -150,3 +150,20 @@ def test_rotate_boxes_and_deskew():
     assert np.allclose(rotate_boxes(quad, 0.5), quad)
     straight = deskewed_straight_boxes(skewed)
     assert np.allclose(straight, [[0.4, 0.45, 0.6, 0.55]], atol=0.01)
+
+
+def test_export_kie_xml():
+    import numpy as np
+
+    from doctr_spark.functions.export import export_kie_xml
+    from doctr_spark.operators.kie import build_kie_page
+
+    boxes = np.array([[0.0, 0.0, 0.1, 0.1], [0.2, 0.0, 0.3, 0.1], [0.0, 0.3, 0.1, 0.4]])
+    preds = build_kie_page(boxes, ["HELLO", "42", "+"])
+    xml = export_kie_xml(preds, (200, 400))
+    # one carea per class, sorted by class name; flat words, abs-pixel boxes
+    assert xml.count('class="ocr_carea"') == 3
+    assert '<div class="ocr_carea" id="number_1_1">' in xml
+    assert 'title="bbox 80 0 120 20; x_wconf 100">42</span>' in xml
+    assert xml.index("number_") < xml.index("symbol_") < xml.index('id="word_1_3"')
+    assert xml.count('class="ocrx_word"') == 3
