@@ -115,9 +115,14 @@ def export_hocr(words: list[dict], dims: tuple[int, int], page_idx: int = 0, lan
 def export_kie_xml(
     predictions: dict[str, list[dict]], dims: tuple[int, int], page_idx: int = 0
 ) -> str:
-    """hOCR-style XML for a KIE page: one ocr_carea per predicted class,
-    flat ocrx_word spans (no line grouping — KIE predictions are flat
-    per-class lists, reference io/elements.py:496-590 semantics)."""
+    """hOCR-style XML for a KIE page, mirroring reference
+    io/elements.py:496-590: one ``ocr_carea`` per *prediction* (id
+    ``{class}_prediction_{n}``, global running count) with nested
+    ``ocr_par`` / ``ocr_line`` / ``ocrx_word`` all sharing the word's bbox
+    (the reference's PDF/A-compatibility workaround — KIE predictions are
+    flat words, so all four levels collapse to the same box), pixel coords
+    via ``int(round(rel * dim))``. Classes iterate in sorted order for
+    determinism (the reference iterates dict insertion order)."""
     h, w = dims
     out = [
         '<?xml version="1.0" encoding="UTF-8"?>',
@@ -125,18 +130,25 @@ def export_kie_xml(
         "<body>",
         f'<div class="ocr_page" id="page_{page_idx + 1}" title="image; bbox 0 0 {w} {h}; ppageno 0">',
     ]
-    for cls_idx, cls in enumerate(sorted(predictions)):
-        out.append(
-            f'<div class="ocr_carea" id="{escape(cls)}_{page_idx + 1}_{cls_idx + 1}">'
-        )
-        for widx, word in enumerate(predictions[cls]):
-            x0, y0 = int(word["xmin"] * w), int(word["ymin"] * h)
-            x1, y1 = int(word["xmax"] * w), int(word["ymax"] * h)
+    n = 1
+    for cls in sorted(predictions):
+        for word in predictions[cls]:
+            x0, y0 = int(round(word["xmin"] * w)), int(round(word["ymin"] * h))
+            x1, y1 = int(round(word["xmax"] * w)), int(round(word["ymax"] * h))
+            bbox = f"bbox {x0} {y0} {x1} {y1}"
             conf = int(round(word.get("confidence", 1.0) * 100))
+            c = escape(cls)
+            out.append(f'<div class="ocr_carea" id="{c}_prediction_{n}" title="{bbox}">')
+            out.append(f'<p class="ocr_par" id="{c}_par_{n}" title="{bbox}">')
             out.append(
-                f'<span class="ocrx_word" id="word_{page_idx + 1}_{cls_idx + 1}_{widx + 1}" '
-                f'title="bbox {x0} {y0} {x1} {y1}; x_wconf {conf}">{escape(word["value"])}</span>'
+                f'<span class="ocr_line" id="{c}_line_{n}" '
+                f'title="{bbox}; baseline 0 0; x_size 0; x_descenders 0; x_ascenders 0">'
             )
-        out.append("</div>")
+            out.append(
+                f'<span class="ocrx_word" id="{c}_word_{n}" '
+                f'title="{bbox}; x_wconf {conf}">{escape(word["value"])}</span>'
+            )
+            out.extend(["</span>", "</p>", "</div>"])
+            n += 1
     out.extend(["</div>", "</body>", "</html>"])
     return "\n".join(out)

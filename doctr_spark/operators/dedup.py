@@ -211,18 +211,46 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(run, schema="id long, simhash long")
 
 
-def simhash_near_duplicates(hashes: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by Hamming distance <= max_hamming, blocked on the
-    top prefix bits (a hot-prefix block is the classic skew point — AQE
-    skew-join plus narrower prefixes handle it at scale)."""
-    blocked = hashes.withColumn("block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+def simhash_chunk_cols(hash_col, n_chunks: int) -> list:
+    """Split a 64-bit hash column into ``n_chunks`` contiguous bit chunks
+    (widths as even as possible), each as a long column."""
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    cols, offset = [], 0
+    for w in widths:
+        c = F.shiftrightunsigned(hash_col, offset)
+        if w < 64:
+            c = c.bitwiseAND(F.lit((1 << w) - 1))
+        cols.append(c)
+        offset += w
+    return cols
+
+
+def simhash_near_duplicates(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming with pigeonhole
+    blocking: the 64 bits split into ``max_hamming + 1`` chunks, candidates
+    must agree exactly on >= 1 chunk. Any pair at distance <= max_hamming
+    has at most max_hamming differing bits, so some chunk holds none of
+    them — **recall is 1.0 by construction** (unlike prefix blocking, which
+    misses pairs whose flipped bits land in the prefix). Each chunk join
+    shuffles only (id, simhash) pairs keyed on ~64/(h+1)-bit values; exact
+    ``bit_count(xor)`` re-checks every candidate, then a slim
+    (id_a, id_b, hamming) dedupe collapses multi-chunk collisions.
+    """
+    n_chunks = max_hamming + 1
+    blocked = hashes.select(
+        "id",
+        "simhash",
+        F.posexplode(F.array(*simhash_chunk_cols(F.col("simhash"), n_chunks))).alias("chunk", "val"),
+    )
     return (
         blocked.alias("x")
-        .join(blocked.alias("y"), "block")
+        .join(blocked.alias("y"), ["chunk", "val"])
         .filter(F.col("x.id") < F.col("y.id"))
         .withColumn("hamming", F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))))
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

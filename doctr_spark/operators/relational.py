@@ -66,18 +66,26 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the whole right row as ONE struct so NULL fields in the newest
+    # matching row propagate (a per-column last(ignorenulls) would mix
+    # values from different right rows and could return an expired value
+    # whose timestamp check passed on a newer row)
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col(ts_col).alias("_rts"), *[F.col(cc).alias(cc) for cc in carried]),
+    )
     out = both.select(
         *both.columns,
-        *[F.last(cc, ignorenulls=True).over(w).alias(f"_c_{cc}") for cc in carried],
-        F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True).over(w).alias("_rts"),
+        F.last(payload, ignorenulls=True).over(w).alias("_carry"),
     ).filter(F.col("_side") == 1)
 
-    within = F.lit(True)
+    within = F.col("_carry").isNotNull()
     if tolerance_seconds is not None:
-        within = F.col("_rts").isNotNull() & (
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_rts")) <= int(tolerance_seconds * 1e6)
+        within = within & (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_carry._rts"))
+            <= int(tolerance_seconds * 1e6)
         )
     return out.select(
         *[F.col(c) for c in left.columns],
-        *[F.when(within, F.col(f"_c_{cc}")).alias(cc) for cc in carried],
+        *[F.when(within, F.col(f"_carry.{cc}")).alias(cc) for cc in carried],
     )

@@ -23,7 +23,12 @@ def sample_threshold_hex(rate: float) -> str:
 
 
 def sample_predicate(id_col, rate: float):
-    """Boolean column: deterministically keep ~``rate`` of rows by id."""
+    """Boolean column: deterministically keep ~``rate`` of rows by id.
+    ``rate >= 1.0`` is the identity (no row dropped) — the 4-hex threshold
+    saturates at 'ffff', which would otherwise drop ~1/65536 of rows."""
+    if rate >= 1.0:
+        sample_threshold_hex(rate)  # still validates rate <= 1.0
+        return F.lit(True)
     return F.substring(F.md5(id_col.cast("string")), 1, 4) < F.lit(sample_threshold_hex(rate))
 
 
@@ -34,4 +39,7 @@ def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
 
 def sample_predicate_sql(id_expr: str, rate: float) -> str:
     """DuckDB/ANSI twin of :func:`sample_predicate`."""
+    if rate >= 1.0:
+        sample_threshold_hex(rate)
+        return "TRUE"
     return f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4) < '{sample_threshold_hex(rate)}'"

@@ -72,6 +72,19 @@ def run_extraction_checkpointed(
         if max_buckets_this_run is not None:
             todo = todo[:max_buckets_this_run]
         if todo:
+            # a prior failed grouped run may have left partition dirs for
+            # un-manifested buckets; dynamic overwrite only rewrites
+            # partitions present in the NEW data, so a retry that
+            # legitimately produces zero rows for such a bucket would leave
+            # the stale rows in results/ (and in the read-back metrics).
+            # Clear todo-bucket dirs up front — manifested buckets are
+            # never touched.
+            import shutil
+
+            for b in todo:
+                stale = os.path.join(results_dir, f"bucket={b}")
+                if os.path.exists(stale):
+                    shutil.rmtree(stale, ignore_errors=True)
             part = bucketed.filter(F.col("bucket").isin(todo)).drop("bucket")
             res = with_bucket(extract_turns(part), buckets)
             (

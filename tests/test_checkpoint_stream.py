@@ -187,6 +187,42 @@ def test_asof_join_semantics(spark):
     assert got_tol == {1: 2.5, 2: None, 3: None, 4: None}  # 00:20 is 5min after 00:15
 
 
+def test_asof_join_null_values_carry_atomically(spark):
+    """NULL fields in the newest matching right row must propagate as NULL
+    (not fall back to an older row's value), and multi-column carries must
+    come from ONE right row — the struct-payload formulation (vs per-column
+    last(ignorenulls), which mixed rows)."""
+    from datetime import datetime
+
+    from doctr_spark.operators.relational import asof_join
+
+    T = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    left = spark.createDataFrame(
+        [(1, 7, T("00:20:00")), (2, 7, T("00:07:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, T("00:05:00"), 5.0, "a"), (7, T("00:15:00"), None, "b")],
+        "user_id long, ts timestamp, value double, tag string",
+    )
+    out = asof_join(left, right, on="user_id", ts_col="ts", value_cols=["value", "tag"])
+    got = {r["event_id"]: (r["value_asof"], r["tag_asof"]) for r in out.collect()}
+    # newest right row at 00:20 is (00:15, NULL, 'b'): value must be NULL
+    assert got[1] == (None, "b")
+    assert got[2] == (5.0, "a")
+
+    # tolerance is judged against the SAME row the values come from: at
+    # 00:20 with a 2-minute horizon the 00:15 row is expired -> all NULL
+    # (the old formulation could return the 00:05 value as "fresh")
+    tol = asof_join(
+        left, right, on="user_id", ts_col="ts",
+        value_cols=["value", "tag"], tolerance_seconds=120.0,
+    )
+    got_tol = {r["event_id"]: (r["value_asof"], r["tag_asof"]) for r in tol.collect()}
+    assert got_tol[1] == (None, None)
+    assert got_tol[2] == (5.0, "a")
+
+
 def test_checkpoint_resume_grouped(spark, corpus, tmp_path_factory):
     """Grouped mode: all remaining buckets in ONE scan (partitionBy +
     dynamic overwrite); interrupted run resumes without re-extracting done
@@ -216,6 +252,42 @@ def test_checkpoint_resume_grouped(spark, corpus, tmp_path_factory):
     manifest = spark.read.parquet(f"{out}/manifest")
     assert manifest.filter(F.col("status") == "done").count() == 4
     assert manifest.agg(F.sum("n_turns")).collect()[0][0] == total
+
+
+def test_checkpoint_grouped_clears_stale_failed_partitions(spark, corpus, tmp_path_factory):
+    """A crashed grouped run can leave rows in a bucket partition dir with
+    no manifest row. If the retry legitimately produces zero rows for that
+    bucket, dynamic overwrite alone would leave the stale rows in results/
+    and count them into the manifest — the retry must clear un-manifested
+    todo partitions first."""
+    import os
+
+    out = str(tmp_path_factory.mktemp("ckpt_stale"))
+    inp = corpus.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    # find a bucket with no input rows at buckets=4... there may be none, so
+    # instead: restrict the input to conversations NOT in bucket `victim`,
+    # then plant stale rows in victim's partition dir (simulated crash).
+    from doctr_spark.plans.checkpoint import with_bucket
+
+    victim = 0
+    pruned = with_bucket(inp, 4).filter(F.col("bucket") != victim).drop("bucket")
+    stale_dir = os.path.join(out, "results", f"bucket={victim}")
+    os.makedirs(stale_dir, exist_ok=True)
+    spark.createDataFrame(
+        [("ghost-conv", 0, "plain", "STALE", "STALE", 0, 0, 0, 1.0, [])],
+        "conv_id string, turn_idx int, payload_kind string, extracted_text string, "
+        "expected_text string, n_pages int, n_boxes long, n_chars long, strip_ratio double, "
+        "words array<struct<value:string>>",
+    ).write.mode("overwrite").parquet(stale_dir)
+
+    s = run_extraction_checkpointed(spark, pruned, out, buckets=4, grouped=True)
+    assert victim in s["processed"]
+    res = read_extraction_results(spark, out)
+    assert res.filter(F.col("conv_id") == "ghost-conv").count() == 0
+    manifest = spark.read.parquet(f"{out}/manifest")
+    row = manifest.filter(F.col("bucket") == victim).collect()[0]
+    assert row["n_turns"] == 0 and row["status"] == "done"
 
 
 def test_streaming_watermark_bounds_state(spark, tmp_path_factory):

@@ -161,9 +161,14 @@ def test_export_kie_xml():
     boxes = np.array([[0.0, 0.0, 0.1, 0.1], [0.2, 0.0, 0.3, 0.1], [0.0, 0.3, 0.1, 0.4]])
     preds = build_kie_page(boxes, ["HELLO", "42", "+"])
     xml = export_kie_xml(preds, (200, 400))
-    # one carea per class, sorted by class name; flat words, abs-pixel boxes
+    # reference io/elements.py:496-590 structure: one carea PER PREDICTION
+    # (global count), nested par/line/word all sharing the word bbox
     assert xml.count('class="ocr_carea"') == 3
-    assert '<div class="ocr_carea" id="number_1_1">' in xml
-    assert 'title="bbox 80 0 120 20; x_wconf 100">42</span>' in xml
-    assert xml.index("number_") < xml.index("symbol_") < xml.index('id="word_1_3"')
+    assert xml.count('class="ocr_par"') == 3
+    assert xml.count('class="ocr_line"') == 3
     assert xml.count('class="ocrx_word"') == 3
+    assert '<div class="ocr_carea" id="number_prediction_1" title="bbox 80 0 120 20">' in xml
+    assert 'id="number_word_1" title="bbox 80 0 120 20; x_wconf 100">42</span>' in xml
+    assert "baseline 0 0; x_size 0; x_descenders 0; x_ascenders 0" in xml
+    # classes sorted: number < symbol < word; count runs globally
+    assert xml.index("number_prediction_1") < xml.index("symbol_prediction_2") < xml.index("word_prediction_3")

@@ -93,9 +93,44 @@ def test_simhash(spark, docs):
     hashes = simhash64(docs, "doc_id", "text").cache()
     vals = {r["id"]: r["simhash"] for r in hashes.collect()}
     assert vals[1] == vals[2]  # same token set
-    nd = simhash_near_duplicates(hashes, max_hamming=8, prefix_bits=4)
+    nd = simhash_near_duplicates(hashes, max_hamming=8)
     got = {(r["id_a"], r["id_b"]) for r in nd.collect()}
     assert (1, 2) in got
+
+
+def test_simhash_pigeonhole_recall_exhaustive(spark):
+    # pigeonhole blocking must find EVERY pair at hamming <= max_hamming,
+    # including pairs whose flipped bits span the old top-prefix block;
+    # compare against the brute-force all-pairs truth.
+    import itertools
+
+    rng = np.random.default_rng(3)
+    base = [int(rng.integers(0, 1 << 63)) for _ in range(8)]
+    rows = []
+    rid = 0
+    for b in base:
+        rows.append((rid, b))
+        rid += 1
+        for _ in range(3):  # flip up to 3 random bits anywhere in the word
+            flips = rng.choice(64, size=int(rng.integers(1, 4)), replace=False)
+            v = b
+            for f in flips:
+                v ^= 1 << int(f)
+            rows.append((rid, np.int64(np.uint64(v))))
+            rid += 1
+    hashes = spark.createDataFrame([(i, int(v)) for i, v in rows], "id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_duplicates(hashes, max_hamming=3).collect()
+    }
+    truth = set()
+    for (ia, va), (ib, vb) in itertools.combinations(rows, 2):
+        h = bin(int(np.uint64(np.int64(va)) ^ np.uint64(np.int64(vb)))).count("1")
+        if h <= 3:
+            a, b = sorted((ia, ib))
+            truth.add((a, b, h))
+    assert got == truth
+    assert len(truth) > 10  # the fixture actually exercises the blocking
 
 
 @pytest.fixture(scope="module")
