@@ -3,10 +3,15 @@
 ``entry(spark)`` runs the flagship fused extraction over transcripts built
 from the sf0.001 documents table plus deterministic OCR page bundles.
 ``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
-the training-data ops); ``oracle_sql()`` holds the DuckDB twins — literal
-VALUES tables for kernel fixtures, real SQL derivations for relational
-ops. Non-SQL-expressible stages (fused OCR extraction, MinHash/SimHash/
-ANN-LSH, multimodal metadata) are rows-only and covered by pytest goldens.
+the training-data ops); ``oracle_sql()`` holds the DuckDB twins — real SQL
+derivations for relational ops, literal VALUES tables for kernel fixtures.
+Every query has an oracle row. Stages whose semantics SQL cannot re-derive
+(seeded MinHash/SimHash/LSH signatures, the fused OCR model) are checked
+against independent computations instead: exhaustive all-pairs brute force
+(simhash), all-pairs SQL Jaccard with no blocking (minhash_neardup),
+exact-twin recall (ann_*/emb_neardup_lsh), generator-pinned per-turn
+equality (extract_ocr/ocr_quality/bundle_metadata), and structural
+invariants (pack_sequences).
 """
 
 from __future__ import annotations
@@ -85,7 +90,10 @@ SELECT conv_id, turn_idx, payload_kind, extracted_text FROM turns
 
 def _q_extract_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused OCR extraction (detect->crop->recognize->build) over generated
-    page bundles; rows-only for the driver (pytest asserts exact equality)."""
+    page bundles, aggregated per conversation with the exact-match count —
+    the oracle asserts n_exact == n_turns for every conversation (per-turn
+    text equality, the north-rule invariant), with turn counts pinned by
+    the deterministic generator."""
     from doctr_spark.plans.pipeline import extract_turns
     from doctr_spark.sources.corpus import make_transcripts
 
@@ -94,77 +102,170 @@ def _q_extract_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = out.join(
         gen.select("conv_id", "turn_idx", "expected_text"), ["conv_id", "turn_idx"]
     ).withColumn("exact_match", (F.col("extracted_text") == F.col("expected_text")).cast("long"))
-    return matched.select("conv_id", "turn_idx", "n_pages", "n_boxes", "n_chars", "exact_match")
+    return matched.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("exact_match").alias("n_exact"),
+        F.sum("n_pages").cast("long").alias("n_pages"),
+    )
 
 
 def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doctr_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    """Full MinHash-LSH near-dup pipeline: signature -> band bucket join ->
+    EXACT char-shingle Jaccard verify. The DuckDB oracle computes the same
+    Jaccard ALL-PAIRS (no blocking), so the driver check proves the LSH
+    blocking lost no pair at this threshold (recall 1 in practice at
+    bands=32 for high-sim near-dups) AND that the verify stage's Jaccard
+    matches an independent SQL derivation."""
+    from doctr_spark.operators.dedup import minhash_verified_near_duplicates
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 200)
-    sigs = minhash_signatures(docs, "doc_id", "text")
-    cands = lsh_candidate_pairs(sigs)
-    return sigs.agg(F.count("*").alias("n_docs")).crossJoin(
-        cands.agg(F.count("*").alias("n_candidate_pairs"))
-    )
+    return minhash_verified_near_duplicates(docs, "doc_id", "text", bands=32, threshold=0.5)
 
 
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy context-window packing of documents by token count (rows-only:
-    pack assignment is partition-local; pytest asserts the invariants)."""
+    """Greedy context-window packing, checked by its invariants: every doc
+    packed exactly once, token totals conserved (SQL-derivable), no pack
+    over budget, pack slots contiguous from 0. Pack ASSIGNMENT is
+    partition-local (approximate by design), so the invariants — not the
+    assignment — are the stable contract."""
+    from doctr_spark.functions.text import token_count
     from doctr_spark.operators.dedup import pack_sequences
 
+    budget = 256
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs = docs.withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")))
-    return pack_sequences(docs, "doc_id", "n_tokens", budget=256, partitions=8)
+    docs = docs.withColumn("n_tokens", token_count(F.col("text")))
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=budget, partitions=8)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.count("*").alias("n_in_pack"),
+        F.max("pack_slot").alias("max_slot"),
+        F.min("pack_slot").alias("min_slot"),
+    )
+    return (
+        packed.agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .crossJoin(
+            per_pack.agg(
+                F.sum((F.col("pack_tokens") > budget).cast("long")).alias("n_over_budget"),
+                F.sum(
+                    ((F.col("max_slot") != F.col("n_in_pack") - 1) | (F.col("min_slot") != 0)).cast("long")
+                ).alias("n_bad_slots"),
+            )
+        )
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doctr_spark.operators.dedup import simhash64
+    """SimHash near-dup via pigeonhole blocking (recall 1.0 by
+    construction), summarized as pair counts per Hamming distance plus id
+    checksums. The oracle constants were computed by an INDEPENDENT
+    exhaustive all-pairs brute force over the same sf0.01 table (no
+    blocking), so the driver check proves the blocked join found exactly
+    the brute-force pair set."""
+    from doctr_spark.operators.dedup import simhash64, simhash_near_duplicates
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash64(docs, "doc_id", "text")
+    nd = simhash_near_duplicates(simhash64(docs, "doc_id", "text"), max_hamming=3)
+    return nd.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("hamming") == 0).cast("long")).alias("h0"),
+        F.sum((F.col("hamming") == 1).cast("long")).alias("h1"),
+        F.sum((F.col("hamming") == 2).cast("long")).alias("h2"),
+        F.sum((F.col("hamming") == 3).cast("long")).alias("h3"),
+        F.sum("id_a").alias("sum_a"),
+        F.sum("id_b").alias("sum_b"),
+    )
+
+
+def _ann_recall_vs_exact(ann: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall of an ANN result against the exact top-k twin:
+    (query_id, k_exact, n_ann, n_hits). n_hits = exact-top-k rows the ANN
+    result also returned (at any rank). The exact twin is independently
+    oracled (knn_cosine), so a VALUES row here pins the measured recall —
+    any behavior drift in the ANN path changes these counts."""
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(ann.select("query_id", "neighbor_id", F.lit(1).alias("_hit")), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("k_exact"), F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"))
+    )
+    n_ann = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
+    return (
+        hits.join(n_ann, "query_id", "left")
+        .na.fill({"n_ann": 0})
+        .select("query_id", "k_exact", "n_ann", "n_hits")
+    )
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doctr_spark.operators.similarity import ann_lsh_topk
+    """Hyperplane-LSH ANN with auto-sized planes, checked as measured
+    recall@5 against the exact cosine twin computed in-query."""
+    from doctr_spark.operators.similarity import ann_lsh_topk, cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8, dim=64)
-    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 4).alias("sim"))
+    q = emb.filter(F.col("vec_id") < 10)
+    ann = ann_lsh_topk(emb, q, k=5, n_planes=None, dim=64, n_tables=4)
+    exact = cosine_topk(emb, q, k=5)
+    return _ann_recall_vs_exact(ann, exact)
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: nearest-coarse-cell shard + nprobe query probing
-    (rows-only: approximate recall; pytest asserts copy-recall invariants)."""
-    from doctr_spark.operators.similarity import ann_ivf_topk
+    """IVF-style ANN (nearest-coarse-cell shard + nprobe probing), checked
+    as measured recall@5 against the exact cosine twin computed in-query."""
+    from doctr_spark.operators.similarity import ann_ivf_topk, cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4, dim=64)
-    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 4).alias("sim"))
+    q = emb.filter(F.col("vec_id") < 10)
+    ann = ann_ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4, dim=64)
+    exact = cosine_topk(emb, q, k=5)
+    return _ann_recall_vs_exact(ann, exact)
 
 
 def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup (the 100 TB path; rows-only since
-    bucket recall < 1 — exact twin emb_neardup carries the oracle)."""
+    """LSH-bucketed embedding near-dup (the 100 TB path) checked against
+    the exact all-pairs twin computed in-query: n_exact is independently
+    SQL-derivable, n_false_pos is structurally 0 (exact cosine re-check),
+    and n_lsh pins the measured bucket recall."""
     from doctr_spark.operators.similarity import embedding_near_duplicates
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = embedding_near_duplicates(emb, threshold=0.4, method="lsh", n_planes=6, dim=64, n_tables=4)
-    return out.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    exact = embedding_near_duplicates(emb, threshold=0.4, method="exact").select("id_a", "id_b")
+    lsh = embedding_near_duplicates(
+        emb, threshold=0.4, method="lsh", n_planes=None, dim=64, n_tables=4
+    ).select("id_a", "id_b")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count("*").alias("n_lsh")))
+        .crossJoin(lsh.join(exact, ["id_a", "id_b"], "left_anti").agg(F.count("*").alias("n_false_pos")))
+    )
 
 
 def _q_bundle_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary page-bundle metadata extraction (multimodal opaque-bytes
+    path), keyed by (conv_id, turn_idx) and flattened to CSV strings so the
+    deterministic generator output pins a VALUES oracle."""
     from doctr_spark.operators.multimodal import page_bundle_metadata
     from doctr_spark.sources.corpus import make_transcripts
-    from pyspark.sql import functions as F2
 
     gen = make_transcripts(spark, 10, partitions=2, ocr_ratio=1.0, html_ratio=0.0)
+    # stable numeric key conv_idx*1000 + turn_idx (monotonically_increasing_id
+    # would be partition-dependent and unoraclable)
     with_payload = gen.select(
-        F2.monotonically_increasing_id().alias("row_id"),
-        F2.unbase64(F2.get_json_object("tool", "$.b64")).alias("payload"),
+        (
+            F.regexp_extract("conv_id", r"conv-(\d+)", 1).cast("long") * 1000
+            + F.col("turn_idx").cast("long")
+        ).alias("row_id"),
+        F.unbase64(F.get_json_object("tool", "$.b64")).alias("payload"),
     )
-    return page_bundle_metadata(with_payload, "row_id", "payload").select(
-        "n_pages", "scale", "heights", "widths"
+    meta = page_bundle_metadata(with_payload, "row_id", "payload")
+    return meta.select(
+        F.col("id").alias("turn_key"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("scale").cast("long").alias("scale"),
+        F.concat_ws(",", F.transform("heights", lambda h: h.cast("string"))).alias("heights_csv"),
+        F.concat_ws(",", F.transform("widths", lambda w: w.cast("string"))).alias("widths_csv"),
     )
 
 
@@ -181,6 +282,288 @@ def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_EXTRACT_OCR_ORACLE = """
+-- per-conversation turn counts pinned by the deterministic generator
+-- (conv_length(c, 8, 0, 256) for c in 0..11); the invariant under test is
+-- n_exact == n_turns: every OCR turn's extracted text equals expected_text
+SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_exact AS BIGINT) AS n_exact, CAST(n_pages AS BIGINT) AS n_pages
+FROM (VALUES
+  ('conv-000000', 12, 12, 17),
+  ('conv-000001', 3, 3, 4),
+  ('conv-000002', 13, 13, 18),
+  ('conv-000003', 13, 13, 18),
+  ('conv-000004', 9, 9, 15),
+  ('conv-000005', 12, 12, 13),
+  ('conv-000006', 14, 14, 19),
+  ('conv-000007', 11, 11, 18),
+  ('conv-000008', 13, 13, 23),
+  ('conv-000009', 4, 4, 5),
+  ('conv-000010', 12, 12, 18),
+  ('conv-000011', 4, 4, 7)
+) AS v(conv_id, n_turns, n_exact, n_pages)
+"""
+
+_ANN_LSH_ORACLE = """
+-- measured recall@5 of the approximate path vs the exact cosine twin
+-- (the twin itself is oracled as knn_cosine); deterministic because the
+-- hyperplanes/centroids are seeded and the table is fixed at sf0.01
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(k_exact AS BIGINT) AS k_exact,
+       CAST(n_ann AS BIGINT) AS n_ann, CAST(n_hits AS BIGINT) AS n_hits
+FROM (VALUES
+  (0, 5, 5, 0),
+  (1, 5, 5, 2),
+  (2, 5, 5, 2),
+  (3, 5, 5, 1),
+  (4, 5, 5, 1),
+  (5, 5, 5, 2),
+  (6, 5, 5, 2),
+  (7, 5, 5, 2),
+  (8, 5, 5, 1),
+  (9, 5, 5, 0)
+) AS v(query_id, k_exact, n_ann, n_hits)
+"""
+
+_ANN_IVF_ORACLE = """
+-- measured recall@5 of the approximate path vs the exact cosine twin
+-- (the twin itself is oracled as knn_cosine); deterministic because the
+-- hyperplanes/centroids are seeded and the table is fixed at sf0.01
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(k_exact AS BIGINT) AS k_exact,
+       CAST(n_ann AS BIGINT) AS n_ann, CAST(n_hits AS BIGINT) AS n_hits
+FROM (VALUES
+  (0, 5, 5, 2),
+  (1, 5, 5, 3),
+  (2, 5, 5, 3),
+  (3, 5, 5, 1),
+  (4, 5, 5, 2),
+  (5, 5, 5, 3),
+  (6, 5, 5, 2),
+  (7, 5, 5, 3),
+  (8, 5, 5, 2),
+  (9, 5, 5, 1)
+) AS v(query_id, k_exact, n_ann, n_hits)
+"""
+
+_BUNDLE_METADATA_ORACLE = """
+-- deterministic page-bundle headers from make_transcripts(10, ocr_ratio=1):
+-- turn_key = conv_idx*1000 + turn_idx, page dims from the raster font
+SELECT CAST(turn_key AS BIGINT) AS turn_key, CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(scale AS BIGINT) AS scale, heights_csv, widths_csv
+FROM (VALUES
+  (0, 2, 3, '165,165', '640,640'),
+  (1, 1, 3, '165', '640'),
+  (2, 2, 3, '69,69', '640,640'),
+  (3, 1, 3, '117', '640'),
+  (4, 2, 3, '117,69', '640,640'),
+  (5, 1, 3, '117', '640'),
+  (6, 1, 3, '117', '640'),
+  (7, 1, 3, '69', '640'),
+  (8, 1, 3, '69', '640'),
+  (9, 1, 3, '69', '640'),
+  (10, 2, 3, '165,117', '640,640'),
+  (11, 2, 3, '165,165', '640,640'),
+  (1000, 1, 3, '69', '640'),
+  (1001, 2, 3, '69,117', '640,640'),
+  (1002, 1, 3, '69', '640'),
+  (2000, 1, 3, '117', '640'),
+  (2001, 1, 3, '165', '640'),
+  (2002, 1, 3, '69', '640'),
+  (2003, 2, 3, '117,117', '640,640'),
+  (2004, 1, 3, '117', '640'),
+  (2005, 2, 3, '165,165', '640,640'),
+  (2006, 1, 3, '117', '640'),
+  (2007, 1, 3, '117', '640'),
+  (2008, 1, 3, '117', '640'),
+  (2009, 2, 3, '165,117', '640,640'),
+  (2010, 2, 3, '117,69', '640,640'),
+  (2011, 2, 3, '117,117', '640,640'),
+  (2012, 1, 3, '165', '640'),
+  (3000, 2, 3, '165,69', '640,640'),
+  (3001, 1, 3, '117', '640'),
+  (3002, 2, 3, '165,117', '640,640'),
+  (3003, 2, 3, '117,165', '640,640'),
+  (3004, 1, 3, '165', '640'),
+  (3005, 1, 3, '165', '640'),
+  (3006, 2, 3, '69,165', '640,640'),
+  (3007, 1, 3, '117', '640'),
+  (3008, 1, 3, '117', '640'),
+  (3009, 1, 3, '117', '640'),
+  (3010, 1, 3, '117', '640'),
+  (3011, 1, 3, '165', '640'),
+  (3012, 2, 3, '117,165', '640,640'),
+  (4000, 1, 3, '69', '640'),
+  (4001, 2, 3, '117,165', '640,640'),
+  (4002, 2, 3, '117,117', '640,640'),
+  (4003, 2, 3, '117,117', '640,640'),
+  (4004, 2, 3, '69,165', '640,640'),
+  (4005, 1, 3, '165', '640'),
+  (4006, 2, 3, '69,117', '640,640'),
+  (4007, 2, 3, '165,165', '640,640'),
+  (4008, 1, 3, '165', '640'),
+  (5000, 2, 3, '69,117', '640,640'),
+  (5001, 1, 3, '117', '640'),
+  (5002, 1, 3, '117', '640'),
+  (5003, 1, 3, '165', '640'),
+  (5004, 1, 3, '165', '640'),
+  (5005, 1, 3, '165', '640'),
+  (5006, 1, 3, '117', '640'),
+  (5007, 1, 3, '117', '640'),
+  (5008, 1, 3, '165', '640'),
+  (5009, 1, 3, '165', '640'),
+  (5010, 1, 3, '69', '640'),
+  (5011, 1, 3, '165', '640'),
+  (6000, 1, 3, '165', '640'),
+  (6001, 1, 3, '69', '640'),
+  (6002, 1, 3, '165', '640'),
+  (6003, 2, 3, '69,69', '640,640'),
+  (6004, 1, 3, '117', '640'),
+  (6005, 1, 3, '69', '640'),
+  (6006, 1, 3, '117', '640'),
+  (6007, 1, 3, '165', '640'),
+  (6008, 2, 3, '117,69', '640,640'),
+  (6009, 1, 3, '69', '640'),
+  (6010, 2, 3, '117,165', '640,640'),
+  (6011, 1, 3, '165', '640'),
+  (6012, 2, 3, '117,165', '640,640'),
+  (6013, 2, 3, '165,69', '640,640'),
+  (7000, 2, 3, '165,117', '640,640'),
+  (7001, 2, 3, '117,117', '640,640'),
+  (7002, 2, 3, '117,165', '640,640'),
+  (7003, 2, 3, '69,117', '640,640'),
+  (7004, 1, 3, '117', '640'),
+  (7005, 2, 3, '117,165', '640,640'),
+  (7006, 1, 3, '69', '640'),
+  (7007, 2, 3, '165,165', '640,640'),
+  (7008, 2, 3, '165,117', '640,640'),
+  (7009, 1, 3, '117', '640'),
+  (7010, 1, 3, '117', '640'),
+  (8000, 2, 3, '117,117', '640,640'),
+  (8001, 2, 3, '117,117', '640,640'),
+  (8002, 2, 3, '165,117', '640,640'),
+  (8003, 1, 3, '117', '640'),
+  (8004, 2, 3, '117,165', '640,640'),
+  (8005, 2, 3, '117,117', '640,640'),
+  (8006, 2, 3, '165,117', '640,640'),
+  (8007, 1, 3, '165', '640'),
+  (8008, 2, 3, '165,117', '640,640'),
+  (8009, 2, 3, '165,117', '640,640'),
+  (8010, 2, 3, '165,165', '640,640'),
+  (8011, 2, 3, '165,117', '640,640'),
+  (8012, 1, 3, '117', '640'),
+  (9000, 1, 3, '165', '640'),
+  (9001, 2, 3, '117,117', '640,640'),
+  (9002, 1, 3, '165', '640'),
+  (9003, 1, 3, '117', '640')
+) AS v(turn_key, n_pages, scale, heights_csv, widths_csv)
+"""
+
+
+_SIMHASH_ORACLE = """
+-- independent exhaustive brute force: all 124,750 doc pairs at sf0.01,
+-- hamming = popcount(xor(simhash)) <= 3 (no blocking) -> 2203 pairs;
+-- counts per distance + id checksums pin the pigeonhole-blocked result
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs, CAST(h0 AS BIGINT) AS h0,
+       CAST(h1 AS BIGINT) AS h1, CAST(h2 AS BIGINT) AS h2, CAST(h3 AS BIGINT) AS h3,
+       CAST(sum_a AS BIGINT) AS sum_a, CAST(sum_b AS BIGINT) AS sum_b
+FROM (VALUES
+  (2203, 478, 177, 429, 1119, 398588, 726647)
+) AS v(n_pairs, h0, h1, h2, h3, sum_a, sum_b)
+"""
+
+
+_MINHASH_NEARDUP_ORACLE = """
+-- ALL-PAIRS exact char-5-shingle Jaccard (no LSH blocking): equality with
+-- the Spark result proves the MinHash-LSH candidate stage lost no pair at
+-- threshold 0.5 and the verify stage's Jaccard matches SQL exactly
+WITH docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < 200
+),
+pos AS (
+  SELECT id, norm, unnest(generate_series(1, greatest(length(norm) - 4, 1))) AS i FROM docs
+),
+grams AS (SELECT DISTINCT id, substr(norm, CAST(i AS INT), 5) AS gram FROM pos),
+sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b USING (gram) WHERE a.id < b.id GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+       round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) >= 0.5
+"""
+
+
+_PACK_SEQUENCES_ORACLE = """
+-- packing invariants: every doc packed once (n_docs), token totals
+-- conserved with the budget cap (SQL twin of token_count), and the two
+-- structural invariants -- no pack over budget, slots contiguous from 0
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(least(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 256)) AS BIGINT) AS total_tokens,
+       CAST(0 AS BIGINT) AS n_over_budget,
+       CAST(0 AS BIGINT) AS n_bad_slots
+FROM documents
+"""
+
+
+_STREAMING_SESSIONIZE_ORACLE = """
+-- lag-gap derivation of Spark session_window(ts, '30 minutes'): a new
+-- session starts when the gap STRICTLY exceeds 30 min (an event exactly at
+-- the previous window end merges -- verified against Spark semantics);
+-- microsecond math, session_start = min ts truncated to seconds
+WITH ev AS (SELECT user_id, event_id, ts, epoch_us(ts) AS tu FROM events),
+marked AS (
+  SELECT user_id, event_id, ts, tu,
+         CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+_EMB_NEARDUP_LSH_ORACLE = """
+-- n_exact derives from the same SQL cosine as the emb_neardup oracle;
+-- n_false_pos = 0 is structural (exact cosine re-check on candidates);
+-- n_lsh = 21 pins the measured bucket recall of the seeded hyperplanes
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+exact AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST(21 AS BIGINT) AS n_lsh,
+       CAST(0 AS BIGINT) AS n_false_pos
+"""
+
+
+_OCR_QUALITY_ORACLE = """
+-- per-kind turn counts pinned by the deterministic generator
+-- (make_transcripts(16), kind drawn from the keyed hash); the invariant
+-- under test is exact_match_rate = 1.0 for every payload kind
+SELECT payload_kind, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(exact_match_rate AS DOUBLE) AS exact_match_rate
+FROM (VALUES
+  ('html', 49, 1.0),
+  ('ocr', 31, 1.0),
+  ('plain', 83, 1.0)
+) AS v(payload_kind, n_turns, exact_match_rate)
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -298,7 +681,17 @@ def oracle_sql() -> dict[str, str]:
         "nms": EQ.NMS_ORACLE,
         "page_angle": EQ.PAGE_ANGLE_ORACLE,
         "remove_padding": EQ.REMOVE_PADDING_ORACLE,
-        # rows-only (non-SQL-expressible): extract_ocr, minhash_neardup,
-        # simhash, ann_lsh, ann_ivf, emb_neardup_lsh, bundle_metadata,
-        # streaming_sessionize
+        "extract_ocr": _EXTRACT_OCR_ORACLE,
+        "minhash_neardup": _MINHASH_NEARDUP_ORACLE,
+        "simhash": _SIMHASH_ORACLE,
+        "pack_sequences": _PACK_SEQUENCES_ORACLE,
+        "streaming_sessionize": _STREAMING_SESSIONIZE_ORACLE,
+        "ann_lsh": _ANN_LSH_ORACLE,
+        "ann_ivf": _ANN_IVF_ORACLE,
+        "emb_neardup_lsh": _EMB_NEARDUP_LSH_ORACLE,
+        "bundle_metadata": _BUNDLE_METADATA_ORACLE,
+        "ocr_quality": _OCR_QUALITY_ORACLE,
+        # every registered query now has an oracle row: VALUES fixtures are
+        # pinned by independent computations (exhaustive brute force /
+        # deterministic generator); see each oracle's header comment
     }

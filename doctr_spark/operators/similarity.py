@@ -87,6 +87,38 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
+def planes_for_corpus(n_rows: int, target_bucket_rows: int = 16, lo: int = 4, hi: int = 24) -> int:
+    """Scale-aware hyperplane count: enough sign bits that the expected
+    bucket occupancy ``n_rows / 2**n_planes`` lands near
+    ``target_bucket_rows``. A FIXED plane count is the classic LSH scale
+    bug — occupancy (and the within-bucket candidate join) grows linearly
+    with the corpus, going quadratic at 10^9+ rows. Deriving
+    ``n_planes ~ log2(n / target)`` keeps per-bucket work constant as the
+    corpus grows (at 100 TB, ``n_rows`` comes from table stats or one
+    ``count()`` — trivially amortized against the pair join it bounds)."""
+    import math
+
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(max(n_rows / target_bucket_rows, 2.0)))))
+
+
+def _resolve_planes(n_planes, corpus: DataFrame, target_bucket_rows: int) -> int:
+    """``n_planes=None`` -> derive from the corpus row count and log the
+    implied occupancy so a mis-sized index is visible in executor logs."""
+    import logging
+
+    if n_planes is not None:
+        return n_planes
+    n_rows = corpus.count()
+    p = planes_for_corpus(n_rows, target_bucket_rows)
+    logging.getLogger(__name__).info(
+        "lsh auto-sizing: n_rows=%d -> n_planes=%d (expected occupancy %.1f rows/bucket, target %d)",
+        n_rows, p, n_rows / float(1 << p), target_bucket_rows,
+    )
+    return p
+
+
 def lsh_signature_col(vec_col, planes: np.ndarray):
     """Bucket id = sign-bit signature against fixed hyperplanes, as an
     Arrow-batched pandas UDF: one (batch x dim) @ (dim x planes) matmul per
@@ -129,9 +161,10 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     method: str = "exact",
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dim: int = 64,
     n_tables: int = 4,
+    target_bucket_rows: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ``(id_a < id_b, sim >= threshold)``.
 
@@ -141,7 +174,8 @@ def embedding_near_duplicates(
     ``n_tables`` tables, so each equi-bucket join partition scores only its
     own cell — no quadratic blowup, shuffle keyed on the bucket id. Exact
     cosine is re-checked on every candidate, so LSH controls recall only,
-    never precision.
+    never precision. ``n_planes=None`` auto-sizes from the corpus count so
+    bucket occupancy stays ~``target_bucket_rows`` at any scale.
     """
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -151,9 +185,11 @@ def embedding_near_duplicates(
         # all tables in one pass: explode per-table buckets, ONE equi-join
         # on (tbl, bucket), score map-side after the bucket exchange, and
         # dedupe only slim (id_a, id_b, sim) triples that already passed the
-        # threshold — vector payloads never cross the dedupe exchange. A
+        # threshold — vector payloads cross the bucket exchange n_tables
+        # times (the posexplode copies) but never the dedupe exchange. A
         # pair colliding in k tables is scored k times (cheap matmul) but
-        # shuffled once, post-filter.
+        # survives the dedupe once.
+        n_planes = _resolve_planes(n_planes, corpus, target_bucket_rows)
         stack = np.stack([hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)])
         at = a.select("id_a", "va", F.posexplode(lsh_multi_signature_col(F.col("va"), stack)).alias("tbl", "bucket"))
         bt = b.select("id_b", "vb", F.posexplode(lsh_multi_signature_col(F.col("vb"), stack)).alias("tbl", "bucket"))
@@ -251,16 +287,20 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dim: int = 64,
     n_tables: int = 2,
+    target_bucket_rows: int = 16,
 ) -> DataFrame:
     """Approximate top-k: probe only corpus rows sharing an LSH bucket with
     the query in any of ``n_tables`` independent tables, then exact cosine
-    rank within candidates."""
+    rank within candidates. ``n_planes=None`` auto-sizes from the corpus
+    count (see :func:`planes_for_corpus`)."""
     # one multi-table signature pass per side, ONE broadcast join on
     # (tbl, bucket); score map-side, dedupe slim (query, neighbor, sim)
-    # triples — vectors never cross the dedupe exchange
+    # triples — vectors cross the bucket exchange n_tables times (posexplode
+    # copies) but never the dedupe exchange
+    n_planes = _resolve_planes(n_planes, corpus, target_bucket_rows)
     stack = np.stack([hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

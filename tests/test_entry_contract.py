@@ -28,7 +28,7 @@ def test_queries_have_oracles_subset(spark):
 
 def test_extract_ocr_exact_match(spark):
     out = entry.queries()["extract_ocr"](spark, SF_DIR)
-    agg = out.agg(F.count("*").alias("n"), F.sum("exact_match").alias("m")).collect()[0]
+    agg = out.agg(F.sum("n_turns").alias("n"), F.sum("n_exact").alias("m")).collect()[0]
     assert agg["n"] > 0 and agg["n"] == agg["m"]  # 100% per-turn OCR equality
 
 

@@ -89,6 +89,38 @@ def test_minhash_deterministic_and_neardup(spark, docs):
     assert (4, 5) not in nd
 
 
+def test_planes_for_corpus_occupancy():
+    """Auto-sized hyperplane count keeps expected bucket occupancy at or
+    under target across corpus scales (until the hi clamp, where n_tables /
+    multiprobe take over)."""
+    from doctr_spark.operators.similarity import planes_for_corpus
+
+    for n in [100, 10_000, 1_000_000, 100_000_000]:
+        p = planes_for_corpus(n, target_bucket_rows=16)
+        assert n / (1 << p) <= 16
+    assert planes_for_corpus(0) == 4  # lo clamp
+    assert planes_for_corpus(10**12) == 24  # hi clamp
+    # monotone non-decreasing in corpus size
+    ps = [planes_for_corpus(10**k) for k in range(2, 10)]
+    assert ps == sorted(ps)
+
+
+def test_minhash_verified_near_duplicates(spark, docs):
+    """LSH candidates + exact char-shingle Jaccard verify: near-identical
+    docs found with their TRUE jaccard; unrelated docs excluded."""
+    from doctr_spark.operators.dedup import minhash_verified_near_duplicates
+
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_verified_near_duplicates(
+            docs, "doc_id", "text", bands=32, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] == 1.0  # identical normalized text
+    assert all(0.5 <= j <= 1.0 for j in out.values())
+    assert (4, 5) not in out
+
+
 def test_simhash(spark, docs):
     hashes = simhash64(docs, "doc_id", "text").cache()
     vals = {r["id"]: r["simhash"] for r in hashes.collect()}
