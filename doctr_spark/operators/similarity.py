@@ -168,8 +168,12 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ``(id_a < id_b, sim >= threshold)``.
 
-    ``method="exact"`` is the all-pairs verify baseline (broadcast nested-loop;
-    only for small corpora / sampled audits). ``method="lsh"`` is the 100 TB
+    ``method="exact"`` is the all-pairs verify baseline, computed blockwise:
+    vectors pack into ~``block_rows``-row matrix blocks, blocks cross-join
+    (B^2 slim rows instead of N^2 pair rows) and one einsum per block pair
+    scores the whole tile — only pairs over threshold are ever materialized.
+    Still O(N^2) compute: for small corpora / sampled audits only.
+    ``method="lsh"`` is the 100 TB
     path: candidates must share a random-hyperplane bucket in at least one of
     ``n_tables`` tables, so each equi-bucket join partition scores only its
     own cell — no quadratic blowup, shuffle keyed on the bucket id. Exact
@@ -177,11 +181,11 @@ def embedding_near_duplicates(
     never precision. ``n_planes=None`` auto-sizes from the corpus count so
     bucket occupancy stays ~``target_bucket_rows`` at any scale.
     """
+    if method == "exact":
+        return _exact_pairs_blocked(corpus, id_col, vec_col, threshold)
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    if method == "exact":
-        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    elif method == "lsh":
+    if method == "lsh":
         # all tables in one pass: explode per-table buckets, ONE equi-join
         # on (tbl, bucket), score map-side after the bucket exchange, and
         # dedupe only slim (id_a, id_b, sim) triples that already passed the
@@ -201,13 +205,88 @@ def embedding_near_duplicates(
             .select("id_a", "id_b", "sim")
             .dropDuplicates(["id_a", "id_b"])
         )
-    else:
-        raise ValueError(f"unknown method {method!r}")
-    return (
-        pairs.withColumn("sim", cosine_pandas_col(F.col("va"), F.col("vb")))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
+    raise ValueError(f"unknown method {method!r}")
+
+
+def _exact_pairs_blocked(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_rows: int = 1024,
+    n_blocks: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """All-pairs cosine >= threshold via blocked matrix products.
+
+    Vectors hash into ``n_blocks`` blocks; each block aggregates into ONE
+    row carrying (ids, flattened matrix). Blocks cross-join (upper triangle
+    incl. diagonal), and a mapInPandas stage runs one normalized
+    ``A @ B.T`` einsum per block pair, emitting only the (id_a < id_b)
+    pairs at or over threshold. Exchange volume is B^2 block rows (~each
+    block_rows x dim floats), never the N^2 pair rows a row-level join
+    would materialize; compute is one BLAS call per tile instead of
+    millions of per-pair kernel invocations."""
+    n = corpus.count()
+    if n_blocks is None:
+        n_blocks = max(1, -(-n // block_rows))
+    src = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
+    blocks = src.groupBy("blk").agg(
+        F.collect_list("id").alias("ids"),
+        F.collect_list("v").alias("vecs"),
+    )
+    pairs = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), F.col("x.blk") <= F.col("y.blk"))
+        .select(
+            F.col("x.ids").alias("ids_a"), F.col("x.vecs").alias("vecs_a"),
+            F.col("y.ids").alias("ids_b"), F.col("y.vecs").alias("vecs_b"),
+            (F.col("x.blk") == F.col("y.blk")).alias("same_blk"),
+        )
+    )
+
+    def score(batches):
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for ids_a, vecs_a, ids_b, vecs_b, same in zip(
+                pdf["ids_a"], pdf["vecs_a"], pdf["ids_b"], pdf["vecs_b"], pdf["same_blk"]
+            ):
+                ia = np.asarray(ids_a, dtype=np.int64)
+                ib = np.asarray(ids_b, dtype=np.int64)
+                ma = np.stack([np.asarray(v, dtype=np.float64) for v in vecs_a])
+                mb = np.stack([np.asarray(v, dtype=np.float64) for v in vecs_b])
+                na = np.linalg.norm(ma, axis=1, keepdims=True)
+                nb = np.linalg.norm(mb, axis=1, keepdims=True)
+                na[na == 0.0] = 1.0
+                nb[nb == 0.0] = 1.0
+                sims = np.round((ma / na) @ (mb / nb).T, decimals)
+                # id_a < id_b orientation; same-block tiles cover both
+                # triangles of the tile, cross-block tiles the whole tile
+                ra, cb = np.nonzero(sims >= threshold)
+                lo = np.minimum(ia[ra], ib[cb])
+                hi = np.maximum(ia[ra], ib[cb])
+                keep = lo < hi
+                if bool(same):
+                    # dedupe mirrored hits within the same block
+                    seen_lo, seen_hi = lo[keep], hi[keep]
+                    order = np.lexsort((seen_hi, seen_lo))
+                    seen_lo, seen_hi = seen_lo[order], seen_hi[order]
+                    s = sims[ra[keep], cb[keep]][order]
+                    uniq = np.ones(len(seen_lo), dtype=bool)
+                    uniq[1:] = (seen_lo[1:] != seen_lo[:-1]) | (seen_hi[1:] != seen_hi[:-1])
+                    out_a.extend(seen_lo[uniq]); out_b.extend(seen_hi[uniq]); out_s.extend(s[uniq])
+                else:
+                    out_a.extend(lo[keep]); out_b.extend(hi[keep])
+                    out_s.extend(sims[ra[keep], cb[keep]])
+            yield pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                                "id_b": pd.Series(out_b, dtype="int64"),
+                                "sim": pd.Series(out_s, dtype="float64")})
+
+    return pairs.mapInPandas(score, "id_a long, id_b long, sim double")
 
 
 def ivf_centroids(dim: int, n_centroids: int, seed: int = 11) -> np.ndarray:
