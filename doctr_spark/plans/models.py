@@ -1,0 +1,105 @@
+"""Pluggable model stage for the fused extraction pipeline.
+
+The reference's predictors are model-agnostic — ``detection/zoo.py:59-71``
+and ``recognition/zoo.py:41-52`` accept any custom model instance, and
+SURVEY.md §4.4 specifies a per-executor weight lifecycle. This module is
+the Spark-native equivalent: the pipeline consumes a detector and a
+recognizer through two small contracts, resolved from zero-arg *loader*
+callables via a per-worker lazy singleton, so real NN weights (torch /
+ONNX) load ONCE per Python worker process — with
+``spark.python.worker.reuse`` (default on) that is once per executor core,
+no matter how many Arrow batches or tasks the worker handles.
+
+Contracts (all numpy, no framework types cross the boundary):
+
+- detector:   ``(page: (H, W) uint8, scale: int) -> (N, 5) float64``
+  relative ``[xmin, ymin, xmax, ymax, conf]`` boxes (the
+  DetectionPredictor output shape, reference models/detection/zoo.py).
+- recognizer: ``(crops: list[(h, w) uint8], scale: int) ->
+  list[(text, conf)]`` — batch-first so a real CRNN can stack the crops
+  into one forward pass (reference models/recognition/predictor runs
+  batched inference; the deterministic default just loops).
+
+Defaults are the deterministic stand-ins (ink-fuse detector,
+glyph-matcher recognizer). A real DBNet/CRNN drops in as::
+
+    def load_dbnet():
+        sess = onnxruntime.InferenceSession("/weights/dbnet.onnx")
+        def detect(page, scale):
+            proba = sess.run(...)[0]
+            return postprocess_proba_map(proba)  # existing postproc ops
+        return detect
+
+    extract_turns(df, detector=("dbnet-v1", load_dbnet))
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+
+# per-PROCESS model cache: lives in each Python worker; keys are stable
+# strings so re-deserialized task closures hit the same entry
+_WORKER_MODELS: dict[str, object] = {}
+
+ModelLoader = tuple[str, Callable[[], Callable]]
+
+
+def resolve_model(key: str, loader: Callable[[], Callable]):
+    """Return the cached model for ``key``, loading it on first use in this
+    process. Keyed by string (not object identity) because Spark
+    re-deserializes the UDF closure per task — the cache must survive
+    that."""
+    model = _WORKER_MODELS.get(key)
+    if model is None:
+        model = loader()
+        _WORKER_MODELS[key] = model
+    return model
+
+
+def clear_model_cache() -> None:
+    """Testing hook: drop cached models in THIS process (workers keep
+    theirs until they exit)."""
+    _WORKER_MODELS.clear()
+
+
+# ------------------------------------------------- deterministic defaults
+
+
+def _load_ink_detector() -> Callable:
+    """Deterministic detector: the ink-fuse proba-map pipeline
+    (operators/detection.py), same role as the reference's synthetic-map
+    unit-test models."""
+    from ..operators.detection import ink_word_boxes
+
+    def detect(page: np.ndarray, scale: int) -> np.ndarray:
+        return ink_word_boxes(page, scale)
+
+    return detect
+
+
+def _load_glyph_recognizer() -> Callable:
+    """Deterministic recognizer: glyph features -> logits -> CTC best-path
+    (plays the CNN+BiLSTM feature stage of CRNN)."""
+    from ..functions.vocabs import FONT, encode_string
+    from ..operators.recognition import ctc_best_path, indices_to_logits
+    from ..sources.font import read_word_crop
+
+    def recognize(crops: list[np.ndarray], scale: int) -> list[tuple[str, float]]:
+        out = []
+        for crop in crops:
+            raw = read_word_crop(crop, scale)
+            try:
+                indices = encode_string(raw, FONT)
+            except ValueError:
+                out.append((raw, 0.0))
+                continue
+            out.append(ctc_best_path(indices_to_logits(indices), FONT)[0])
+        return out
+
+    return recognize
+
+
+DEFAULT_DETECTOR: ModelLoader = ("ink-fuse-default", _load_ink_detector)
+DEFAULT_RECOGNIZER: ModelLoader = ("glyph-ctc-default", _load_glyph_recognizer)

@@ -30,13 +30,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.html import extract_main_text, looks_like_html
-from ..functions.vocabs import FONT, encode_string
 from ..operators.builder import build_page
-from ..operators.detection import ink_word_boxes
 from ..operators.geometry import extract_crops
-from ..operators.recognition import ctc_best_path, indices_to_logits
-from ..sources.font import read_word_crop
 from ..sources.payloads import decode_page_bundle, parse_tool_envelope
+from .models import DEFAULT_DETECTOR, DEFAULT_RECOGNIZER, ModelLoader, resolve_model
 
 EXTRACT_SCHEMA = (
     "conv_id string, turn_idx int, role string, ts timestamp, payload_kind string, "
@@ -54,20 +51,12 @@ ARTEFACT_FILL_THRESH = 0.3
 PAGE_SEP = "\n\n\n\n"
 
 
-def _recognize_word(crop: np.ndarray, scale: int) -> tuple[str, float]:
-    """Glyph features -> logits -> CTC best-path decode (deterministic)."""
-    raw = read_word_crop(crop, scale)
-    try:
-        indices = encode_string(raw, FONT)
-    except ValueError:
-        return raw, 0.0
-    return ctc_best_path(indices_to_logits(indices), FONT)[0]
-
-
 def extract_turn_ocr(
     bundle: bytes,
     detect_orientation: bool = False,
     detection_hooks: list | None = None,
+    detector=None,
+    recognizer=None,
 ) -> tuple[str, int, int, int, float, list[dict]]:
     """Decode a page bundle and run [orient ->] detect -> [hooks ->] crop ->
     recognize -> build per page.
@@ -78,8 +67,31 @@ def extract_turn_ocr(
     ``detection_hooks``: callables (boxes:(N,5)) -> (N,5) applied to the
     detector output before cropping — the predictor add_hook() extension
     point (reference models/predictor/base.py:193-199).
+    ``detector`` / ``recognizer``: resolved model instances following the
+    plans/models.py contracts (default: the deterministic kernels) — the
+    model-agnostic seam matching reference detection/zoo.py:59-71 /
+    recognition/zoo.py:41-52 custom-model injection.
     """
     pages, scale = decode_page_bundle(bundle)
+    return extract_pages_ocr(
+        pages, scale, detect_orientation, detection_hooks, detector, recognizer
+    )
+
+
+def extract_pages_ocr(
+    pages: list[np.ndarray],
+    scale: int,
+    detect_orientation: bool = False,
+    detection_hooks: list | None = None,
+    detector=None,
+    recognizer=None,
+) -> tuple[str, int, int, int, float, list[dict]]:
+    """OCR chain over already-decoded grayscale pages (the shared core of
+    the bundle / PDF / image payload routes)."""
+    if detector is None:
+        detector = resolve_model(*DEFAULT_DETECTOR)
+    if recognizer is None:
+        recognizer = resolve_model(*DEFAULT_RECOGNIZER)
     page_texts: list[str] = []
     words_out: list[dict] = []
     n_boxes = 0
@@ -90,7 +102,7 @@ def extract_turn_ocr(
             from ..operators.orientation import estimate_page_orientation, rotate_page
 
             img = rotate_page(img, estimate_page_orientation(img, scale))
-        boxes = ink_word_boxes(img, scale)
+        boxes = detector(img, scale)
         for hook in detection_hooks or ():
             boxes = hook(boxes)
         crops = extract_crops(img, boxes[:, :4])
@@ -106,7 +118,7 @@ def extract_turn_ocr(
                 continue
             keep.append(i)
         boxes = boxes[keep]
-        preds = [_recognize_word(crops[i], scale) for i in keep]
+        preds = recognizer([crops[i] for i in keep], scale)
         values = [p[0] for p in preds]
         confs = np.array([p[1] for p in preds]) if preds else np.zeros(0)
         built = build_page(boxes[:, :4], values, boxes[:, 4])
@@ -120,7 +132,12 @@ def extract_turn_ocr(
     return PAGE_SEP.join(page_texts), len(pages), n_boxes, n_artefacts, min_conf, words_out
 
 
-def _extract_batch(pdf: pd.DataFrame, detect_orientation: bool = False) -> pd.DataFrame:
+def _extract_batch(
+    pdf: pd.DataFrame,
+    detect_orientation: bool = False,
+    detector=None,
+    recognizer=None,
+) -> pd.DataFrame:
     out_rows = []
     for conv_id, turn_idx, role, text, tool, ts in zip(
         pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"], pdf["tool"], pdf["ts"]
@@ -131,7 +148,24 @@ def _extract_batch(pdf: pd.DataFrame, detect_orientation: bool = False) -> pd.Da
         if payload is not None and payload[0] == "page_bundle":
             kind = "ocr"
             extracted, n_pages, n_boxes, n_artefacts, min_conf, words = extract_turn_ocr(
-                payload[1], detect_orientation
+                payload[1], detect_orientation, detector=detector, recognizer=recognizer
+            )
+        elif payload is not None and payload[0] in ("pdf", "image"):
+            # real-world payloads: rasterize/decode (env-gated libs), fold
+            # to grayscale, then the same OCR chain
+            from ..sources.font import DEFAULT_SCALE
+            from ..sources.payloads import read_image, read_pdf_pages, to_grayscale
+
+            kind = "ocr"
+            raw_pages = (
+                read_pdf_pages(payload[1]) if payload[0] == "pdf" else [read_image(payload[1])]
+            )
+            extracted, n_pages, n_boxes, n_artefacts, min_conf, words = extract_pages_ocr(
+                [to_grayscale(p) for p in raw_pages],
+                DEFAULT_SCALE,
+                detect_orientation,
+                detector=detector,
+                recognizer=recognizer,
             )
         elif text and looks_like_html(text):
             kind = "html"
@@ -183,6 +217,8 @@ def extract_turns(
     df: DataFrame,
     salt_partitions: int | None = None,
     detect_orientation: bool = False,
+    detector: ModelLoader | None = None,
+    recognizer: ModelLoader | None = None,
 ) -> DataFrame:
     """Fused extraction over a transcript DataFrame.
 
@@ -191,15 +227,24 @@ def extract_turns(
     pathologically skewed; the shuffle moves payload bytes, so default off.
     ``detect_orientation``: enable the per-page orientation classifier
     (docTR's non-assume_straight_pages path; ~2-4x detection cost).
+    ``detector`` / ``recognizer``: ``(cache_key, loader)`` pairs for custom
+    models (plans/models.py contracts). The loader runs lazily ONCE per
+    Python worker process — real NN weights load per executor core, not per
+    task or batch (SURVEY.md §4.4 lifecycle) — and the resolved model
+    serves every subsequent batch that worker handles.
     """
     src = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     if salt_partitions:
         src = src.repartition(salt_partitions, F.xxhash64("conv_id", "turn_idx"))
+    det_key, det_loader = detector or DEFAULT_DETECTOR
+    rec_key, rec_loader = recognizer or DEFAULT_RECOGNIZER
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        det = resolve_model(det_key, det_loader)
+        rec = resolve_model(rec_key, rec_loader)
         for pdf in batches:
             if len(pdf):
-                yield _extract_batch(pdf, detect_orientation)
+                yield _extract_batch(pdf, detect_orientation, detector=det, recognizer=rec)
 
     return src.mapInPandas(run, schema=EXTRACT_SCHEMA)
 

@@ -91,26 +91,68 @@ def parse_tool_envelope(tool: str) -> tuple[str, bytes] | None:
 # ----------------------------------------------------- real-world decoders
 
 
-def read_pdf_pages(pdf_bytes: bytes, scale: float = 2.0):  # pragma: no cover - env-gated
-    """PDF bytes -> list of page arrays (pypdfium2 path, like the reference's
-    read_pdf at 144 dpi). Unavailable in this container."""
+def read_pdf_pages(
+    pdf_bytes: bytes,
+    scale: float = 2.0,
+    rgb_mode: bool = True,
+    password: str | None = None,
+) -> list[np.ndarray]:
+    """PDF bytes -> list of (H, W, 3) uint8 page rasters.
+
+    Mirrors the reference's ``read_pdf`` (io/pdf.py:16-43): pypdfium2
+    render at ``scale`` (1 = 72 dpi; the default 2 = 144 dpi),
+    ``rev_byteorder`` for RGB output, document closed after render. Gated:
+    pypdfium2 is not in this container, so the call raises
+    NotImplementedError there — tests exercise the wiring with a stub
+    module and skip the real path when the import fails."""
     try:
-        import pypdfium2  # noqa: F401
+        import pypdfium2 as pdfium
     except ImportError as exc:
         raise NotImplementedError(
             "real PDF rasterization requires pypdfium2, which is not installed; "
             "use deterministic page bundles (encode_page_bundle) instead"
         ) from exc
-    raise NotImplementedError("pypdfium2 available but decoder not wired in v1")
-
-
-def read_image(img_bytes: bytes):  # pragma: no cover - env-gated
-    """Encoded image bytes -> array (cv2 path). Unavailable in this container."""
+    pdf = pdfium.PdfDocument(pdf_bytes, password=password)
     try:
-        import cv2  # noqa: F401
+        return [page.render(scale=scale, rev_byteorder=rgb_mode).to_numpy() for page in pdf]
+    finally:
+        pdf.close()
+
+
+def read_image(
+    img_bytes: bytes,
+    output_size: tuple[int, int] | None = None,
+    rgb_output: bool = True,
+) -> np.ndarray:
+    """Encoded image bytes -> (H, W, 3) uint8 array.
+
+    Mirrors the reference's ``read_img_as_numpy`` (io/image/base.py:16-53):
+    cv2.imdecode in BGR, optional bilinear resize to ``output_size``
+    (H, W), optional BGR->RGB swap. Gated: cv2 is not in this container."""
+    try:
+        import cv2
     except ImportError as exc:
         raise NotImplementedError(
             "image decoding requires cv2, which is not installed; "
             "use deterministic page bundles (encode_page_bundle) instead"
         ) from exc
-    raise NotImplementedError("cv2 available but decoder not wired in v1")
+    img = cv2.imdecode(np.frombuffer(img_bytes, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("unable to read file.")
+    if isinstance(output_size, tuple):
+        img = cv2.resize(img, output_size[::-1], interpolation=cv2.INTER_LINEAR)
+    if rgb_output:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return img
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """(H, W, 3) RGB -> (H, W) uint8 via ITU-R 601 luma; 2-D passthrough.
+    Bridges the real decoders (RGB rasters) into the grayscale OCR
+    pipeline."""
+    if img.ndim == 2:
+        return img.astype(np.uint8, copy=False)
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    return np.clip(0.299 * r + 0.587 * g + 0.114 * b, 0, 255).astype(np.uint8)

@@ -1,0 +1,244 @@
+"""Pluggable model seam (plans/models.py) + real decoder wiring
+(sources/payloads.py read_pdf_pages / read_image).
+
+Reference parity targets: detection/zoo.py:59-71 and recognition/zoo.py:
+41-52 (custom model instances), io/pdf.py:16-43 (pypdfium2 render),
+io/image/base.py:16-53 (cv2 decode), SURVEY.md §4.4 (per-executor weight
+lifecycle)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from doctr_spark.sources.corpus import make_transcripts
+
+
+def test_custom_model_loads_once_per_worker_and_keeps_equality(spark, tmp_path_factory):
+    """Inject 'heavy' custom models whose loaders tally every load into a
+    shared file: extraction equality is unchanged (the customs wrap the
+    deterministic kernels) and the loader ran at most once per Python
+    worker process (one line per distinct pid), not once per task/batch."""
+    from doctr_spark.plans.pipeline import extract_turns
+
+    tally = str(tmp_path_factory.mktemp("seam") / "loads.txt")
+
+    def load_detector(path=tally):
+        with open(path, "a") as f:
+            f.write(f"det {os.getpid()}\n")
+        from doctr_spark.plans.models import _load_ink_detector
+
+        return _load_ink_detector()
+
+    def load_recognizer(path=tally):
+        with open(path, "a") as f:
+            f.write(f"rec {os.getpid()}\n")
+        from doctr_spark.plans.models import _load_glyph_recognizer
+
+        return _load_glyph_recognizer()
+
+    gen = make_transcripts(spark, 10, partitions=8, ocr_ratio=1.0, html_ratio=0.0).cache()
+    inp = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    out = extract_turns(
+        inp,
+        detector=("test-heavy-det", load_detector),
+        recognizer=("test-heavy-rec", load_recognizer),
+    )
+    j = out.join(gen.select("conv_id", "turn_idx", "expected_text"), ["conv_id", "turn_idx"])
+    bad = j.filter(F.col("extracted_text") != F.col("expected_text")).count()
+    assert bad == 0 and out.count() == inp.count()
+
+    lines = [ln.split() for ln in open(tally).read().splitlines()]
+    # one load per (model, worker-process): 8 tasks on local[4] would tally
+    # 16 lines if the loader ran per task — it must be <= once per pid
+    for kind in ("det", "rec"):
+        pids = [pid for k, pid in lines if k == kind]
+        assert len(pids) >= 1
+        assert len(pids) == len(set(pids))
+    gen.unpersist()
+
+
+def test_resolve_model_caches_by_key():
+    from doctr_spark.plans.models import clear_model_cache, resolve_model
+
+    clear_model_cache()
+    calls = []
+
+    def loader():
+        calls.append(1)
+        return object()
+
+    a = resolve_model("k1", loader)
+    b = resolve_model("k1", loader)
+    assert a is b and len(calls) == 1
+    c = resolve_model("k2", loader)
+    assert c is not a and len(calls) == 2
+    clear_model_cache()
+
+
+# ------------------------------------------------------- decoder wiring
+
+
+def _fake_pypdfium2(pages_rgb):
+    """Stub pypdfium2 module: PdfDocument(bytes) iterates fake pages whose
+    render(scale, rev_byteorder).to_numpy() returns the given arrays."""
+    mod = types.ModuleType("pypdfium2")
+    state = {"closed": False, "render_kwargs": []}
+
+    class _Bitmap:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def to_numpy(self):
+            return self._arr
+
+    class _Page:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def render(self, scale=1.0, rev_byteorder=False, **kw):
+            state["render_kwargs"].append({"scale": scale, "rev_byteorder": rev_byteorder})
+            return _Bitmap(self._arr)
+
+    class PdfDocument:
+        def __init__(self, data, password=None):
+            state["data"] = data
+            self._pages = [_Page(a) for a in pages_rgb]
+
+        def __iter__(self):
+            return iter(self._pages)
+
+        def close(self):
+            state["closed"] = True
+
+    mod.PdfDocument = PdfDocument
+    mod._state = state
+    return mod
+
+
+def test_read_pdf_pages_wiring_via_stub(monkeypatch):
+    """The pypdfium2 path is really wired (render at scale=2, RGB byte
+    order, document closed) — proven with a stub module; the real-lib test
+    below runs wherever pypdfium2 is installed."""
+    from doctr_spark.sources import payloads
+
+    rgb = [np.full((10, 8, 3), 200, dtype=np.uint8), np.zeros((6, 4, 3), dtype=np.uint8)]
+    fake = _fake_pypdfium2(rgb)
+    monkeypatch.setitem(sys.modules, "pypdfium2", fake)
+    out = payloads.read_pdf_pages(b"%PDF-fake", scale=2.0)
+    assert len(out) == 2 and out[0].shape == (10, 8, 3)
+    assert fake._state["closed"] is True
+    assert fake._state["data"] == b"%PDF-fake"
+    assert all(kw == {"scale": 2.0, "rev_byteorder": True} for kw in fake._state["render_kwargs"])
+
+
+def test_read_image_wiring_via_stub(monkeypatch):
+    from doctr_spark.sources import payloads
+
+    decoded_bgr = np.dstack(
+        [np.full((5, 7), v, dtype=np.uint8) for v in (10, 20, 30)]  # B,G,R planes
+    )
+    calls = {}
+
+    fake = types.ModuleType("cv2")
+    fake.IMREAD_COLOR = 1
+    fake.INTER_LINEAR = 1
+    fake.COLOR_BGR2RGB = 4
+
+    def imdecode(buf, flag):
+        calls["imdecode"] = (bytes(buf), flag)
+        return decoded_bgr
+
+    def resize(img, wh, interpolation=None):
+        calls["resize"] = wh
+        return img[: wh[1], : wh[0]]
+
+    def cvtColor(img, code):
+        calls["cvt"] = code
+        return img[..., ::-1]
+
+    fake.imdecode, fake.resize, fake.cvtColor = imdecode, resize, cvtColor
+    monkeypatch.setitem(sys.modules, "cv2", fake)
+
+    out = payloads.read_image(b"\x89PNG-fake", output_size=(4, 6))
+    assert calls["imdecode"][0] == b"\x89PNG-fake"
+    assert calls["resize"] == (6, 4)  # cv2 takes (W, H); output_size is (H, W)
+    assert calls["cvt"] == fake.COLOR_BGR2RGB
+    assert out[0, 0, 0] == 30  # RGB order after the swap
+
+
+def test_decoders_raise_not_implemented_when_libs_absent():
+    from doctr_spark.sources import payloads
+
+    for lib, fn, arg in [
+        ("pypdfium2", payloads.read_pdf_pages, b"%PDF"),
+        ("cv2", payloads.read_image, b"\x89PNG"),
+    ]:
+        try:
+            __import__(lib)
+        except ImportError:
+            with pytest.raises(NotImplementedError):
+                fn(arg)
+
+
+def test_read_pdf_pages_real_lib():
+    pytest.importorskip("pypdfium2")
+    # minimal blank one-page PDF
+    pdf = (
+        b"%PDF-1.1\n1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+        b"2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n"
+        b"3 0 obj<</Type/Page/Parent 2 0 R/MediaBox[0 0 72 72]>>endobj\n"
+        b"trailer<</Root 1 0 R>>"
+    )
+    from doctr_spark.sources.payloads import read_pdf_pages
+
+    pages = read_pdf_pages(pdf, scale=2.0)
+    assert len(pages) == 1 and pages[0].shape[0] == 144  # 72pt * scale 2
+
+
+def test_to_grayscale():
+    from doctr_spark.sources.payloads import to_grayscale
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[0, 0] = (255, 255, 255)
+    rgb[0, 1] = (255, 0, 0)
+    g = to_grayscale(rgb)
+    assert g.shape == (2, 2) and g.dtype == np.uint8
+    assert g[0, 0] == 255 and g[0, 1] == int(0.299 * 255) and g[1, 1] == 0
+    flat = np.array([[7, 9]], dtype=np.uint8)
+    assert to_grayscale(flat) is flat or (to_grayscale(flat) == flat).all()
+
+
+def test_pdf_envelope_routes_through_ocr_chain(monkeypatch):
+    """A 'pdf' tool envelope flows decode -> grayscale -> detect ->
+    recognize -> build and reproduces the page text exactly (stubbed
+    rasterizer returns an RGB-ified deterministic render)."""
+    from doctr_spark.plans.pipeline import _extract_batch
+    from doctr_spark.sources.font import DEFAULT_SCALE, expected_page_lines, render_page
+    from doctr_spark.sources.payloads import tool_envelope
+
+    words = ["ALPHA", "BRAVO", "42"]
+    gray, _ = render_page(words, scale=DEFAULT_SCALE)
+    rgb = np.repeat(gray[..., None], 3, axis=2)
+    monkeypatch.setitem(sys.modules, "pypdfium2", _fake_pypdfium2([rgb]))
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text": ["[attachment: 1 page]"],
+            "tool": [tool_envelope("pdf", b"%PDF-fake")],
+            "ts": [pd.Timestamp("2026-01-01")],
+        }
+    )
+    out = _extract_batch(pdf)
+    assert out.loc[0, "payload_kind"] == "ocr"
+    assert out.loc[0, "extracted_text"] == "\n".join(expected_page_lines(words, scale=DEFAULT_SCALE))
+    assert out.loc[0, "n_pages"] == 1 and out.loc[0, "n_boxes"] == len(words)
