@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..functions.render import render_page
-from .geometry import quads_to_straight, resolve_enclosing_bbox
+from .geometry import deskewed_straight_boxes, quads_to_straight, resolve_enclosing_bbox
 
 PARAGRAPH_BREAK = 0.035
 
@@ -34,12 +34,14 @@ def reading_order_keys(boxes: np.ndarray) -> np.ndarray:
 
 def sort_boxes(boxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Sort boxes top-to-bottom / left-to-right. Rotated (N,4,2) input is
-    reduced to straight boxes first (we skip the de-skew rotation of the
-    reference since our detector emits straight boxes; quads are min/max
-    collapsed). Returns (order indices, straight boxes)."""
+    de-skewed by the estimated page angle and THEN min/max-collapsed to
+    straight boxes — full parity with reference models/builder.py:55-62
+    (rotate_boxes by -estimate_page_angle, min_angle=5, then
+    concatenate(min(1), max(1))), so line resolution afterwards operates on
+    the straightened page. Returns (order indices, straight boxes)."""
     b = np.asarray(boxes, dtype=np.float64)
     if b.ndim == 3:
-        b = quads_to_straight(b)
+        b = deskewed_straight_boxes(b, min_angle=5.0)
     return np.argsort(reading_order_keys(b), kind="quicksort"), b
 
 

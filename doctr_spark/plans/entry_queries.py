@@ -169,6 +169,15 @@ SORT_FIXTURES = [
     (4, [[0, 0.5, 0.1, 0.6], [0.2, 0.49, 0.35, 0.59], [0.8, 0.52, 0.9, 0.63]], [0, 1, 2]),
     (5, [[0, 0.3, 0.4, 0.45], [0.5, 0.28, 0.75, 0.42], [0, 0.45, 0.1, 0.55]], [0, 1, 2]),
     (6, [[0, 0.3, 0.4, 0.35], [0.75, 0.28, 0.95, 0.42], [0, 0.45, 0.1, 0.55]], [0, 1, 2]),
+    # rotated quads (reference tests/common/test_models_builder.py "rot")
+    (7, [[[0.1, 0.1], [0.2, 0.2], [0.15, 0.25], [0.05, 0.15]],
+         [[0.5, 0.5], [0.6, 0.6], [0.55, 0.65], [0.45, 0.55]]], [0, 1]),
+    # 8-degree page skew: WITHOUT the reference's de-skew rotation
+    # (builder.py:55-62) the min/max-collapsed order is [0, 2, 1];
+    # de-skewing restores the true reading order [0, 1, 2]
+    (8, [[[0.0683, 0.3383], [0.2168, 0.3592], [0.2099, 0.4087], [0.0613, 0.3879]],
+         [[0.7615, 0.4358], [0.9595, 0.4636], [0.9526, 0.5131], [0.7545, 0.4853]],
+         [[0.0544, 0.4374], [0.2029, 0.4582], [0.196, 0.5078], [0.0474, 0.4869]]], [0, 1, 2]),
 ]
 LINE_FIXTURES = [
     (1, [[0, 0.5, 0.1, 0.6], [0, 0.3, 0.2, 0.4], [0, 0, 0.1, 0.1]], [[2], [1], [0]]),

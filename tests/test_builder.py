@@ -34,6 +34,41 @@ def test_sort_boxes(boxes, expected_order):
     assert straight.shape == (len(boxes), 4)
 
 
+def test_sort_boxes_rotated_reference_fixture():
+    # reference tests/common/test_models_builder.py test_sort_boxes "rot"
+    quads = [
+        [[0.1, 0.1], [0.2, 0.2], [0.15, 0.25], [0.05, 0.15]],
+        [[0.5, 0.5], [0.6, 0.6], [0.55, 0.65], [0.45, 0.55]],
+    ]
+    order, straight = sort_boxes(np.asarray(quads, dtype=np.float64))
+    assert order.tolist() == [0, 1]
+    assert straight.shape == (2, 4)
+
+
+def test_sort_boxes_deskews_skewed_page():
+    """Parity with reference builder.py:55-62: an 8-degree page skew drops
+    the right-hand word of line 1 below line 2's left word in raw
+    coordinates (min/max collapse alone orders [0, 2, 1]); de-skewing by
+    -estimate_page_angle restores true reading order [0, 1, 2]."""
+    from doctr_spark.operators.geometry import quads_to_straight, rotate_boxes
+
+    line = np.array(
+        [[0.05, 0.40, 0.20, 0.45], [0.75, 0.40, 0.95, 0.45], [0.05, 0.50, 0.20, 0.55]]
+    )
+    quads = np.stack(
+        [line[:, [0, 1]], line[:, [2, 1]], line[:, [2, 3]], line[:, [0, 3]]], axis=1
+    )
+    skewed = rotate_boxes(quads, 8.0, min_angle=0.0)
+    # sanity: the naive collapse really is wrong on this fixture
+    naive = np.argsort(
+        __import__("doctr_spark.operators.builder", fromlist=["reading_order_keys"])
+        .reading_order_keys(quads_to_straight(skewed))
+    ).tolist()
+    assert naive == [0, 2, 1]
+    order, _ = sort_boxes(skewed)
+    assert order.tolist() == [0, 1, 2]
+
+
 def test_sort_key_formula():
     b = np.array([[0.1, 0.2, 0.3, 0.4], [0.0, 0.0, 0.2, 0.1]])
     med_h = np.median(b[:, 3] - b[:, 1])
