@@ -629,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_angle": EQ.q_page_angle,
         "remove_padding": EQ.q_remove_padding,
         "ocr_quality": EQ.q_ocr_quality,
+        "detection_metric": EQ.q_detection_metric,
         # --- multimodal
         "bundle_metadata": _q_bundle_metadata,
     }
@@ -691,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_lsh": _EMB_NEARDUP_LSH_ORACLE,
         "bundle_metadata": _BUNDLE_METADATA_ORACLE,
         "ocr_quality": _OCR_QUALITY_ORACLE,
+        "detection_metric": EQ.DETECTION_METRIC_ORACLE,
         # every registered query now has an oracle row: VALUES fixtures are
         # pinned by independent computations (exhaustive brute force /
         # deterministic generator); see each oracle's header comment

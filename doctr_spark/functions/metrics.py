@@ -113,17 +113,65 @@ def ocr_matches(
     return len(pairs), text_ok
 
 
+def detection_matches(
+    gt_boxes: np.ndarray,
+    gt_labels: np.ndarray,
+    pred_boxes: np.ndarray,
+    pred_labels: np.ndarray,
+    iou_thresh: float = 0.5,
+) -> tuple[int, float, int, int]:
+    """One page of the reference DetectionMetric (utils/metrics.py:442-551):
+    Hungarian-assign predictions to ground truths on IoU, keep pairs with
+    IoU >= thresh, count those whose CLASS also matches; tot_iou is the
+    per-prediction best-IoU sum (the reference's ``iou_mat.max(axis=0)``).
+    Returns (num_matches, tot_iou, n_gts, n_preds)."""
+    gt = np.asarray(gt_boxes, dtype=np.float64).reshape(-1, 4)
+    pred = np.asarray(pred_boxes, dtype=np.float64).reshape(-1, 4)
+    gl = np.asarray(gt_labels)
+    pl = np.asarray(pred_labels)
+    if gt.shape[0] != gl.shape[0] or pred.shape[0] != pl.shape[0]:
+        raise AssertionError("boxes and labels must align on both sides")
+    if pred.shape[0] == 0 or gt.shape[0] == 0:
+        # reference still counts gts/preds (and adds 0 IoU) when one side
+        # is empty
+        return 0, 0.0, int(gt.shape[0]), int(pred.shape[0])
+    iou = box_iou_matrix(gt, pred)
+    tot_iou = float(iou.max(axis=0).sum())
+    pairs = hungarian_min(-iou)
+    matches = sum(1 for g, p in pairs if iou[g, p] >= iou_thresh and gl[g] == pl[p])
+    return int(matches), tot_iou, int(gt.shape[0]), int(pred.shape[0])
+
+
+def detection_metric_summary(
+    num_matches: int, tot_iou: float, n_gts: int, n_preds: int
+) -> tuple[float | None, float | None, float | None]:
+    """(recall, precision, mean_iou) with the reference's None-on-empty and
+    round-2 mean IoU semantics."""
+    recall = num_matches / n_gts if n_gts > 0 else None
+    precision = num_matches / n_preds if n_preds > 0 else None
+    mean_iou = round(tot_iou / n_preds, 2) if n_preds > 0 else None
+    return recall, precision, mean_iou
+
+
 # ------------------------------------------------------ DataFrame rollups
 
 
 def text_match(df: DataFrame, gt_col: str, pred_col: str) -> DataFrame:
-    """TextMatch accumulator: raw + caseless exact-match rates."""
-    return df.agg(
+    """TextMatch accumulator: raw / caseless / anyascii / unicase
+    exact-match rates (all four reference levels, utils/metrics.py:44-121)."""
+    from .text import string_match
+
+    raw, caseless, anyascii, unicase = string_match(F.col(gt_col), F.col(pred_col))
+    flags = df.select(
+        raw.alias("_raw"), caseless.alias("_caseless"),
+        anyascii.alias("_anyascii"), unicase.alias("_unicase"),
+    )
+    return flags.agg(
         F.count("*").alias("n"),
-        F.round(F.avg((F.col(gt_col) == F.col(pred_col)).cast("double")), 6).alias("raw_acc"),
-        F.round(
-            F.avg((F.lower(F.col(gt_col)) == F.lower(F.col(pred_col))).cast("double")), 6
-        ).alias("caseless_acc"),
+        F.round(F.avg(F.col("_raw").cast("double")), 6).alias("raw_acc"),
+        F.round(F.avg(F.col("_caseless").cast("double")), 6).alias("caseless_acc"),
+        F.round(F.avg(F.col("_anyascii").cast("double")), 6).alias("anyascii_acc"),
+        F.round(F.avg(F.col("_unicase").cast("double")), 6).alias("unicase_acc"),
     )
 
 

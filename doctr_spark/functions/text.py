@@ -137,13 +137,65 @@ def fingerprint(col: Column) -> Column:
 FINGERPRINT_SQL = "md5(" + NORMALIZED_SQL + ")"
 
 
+# ------------------------------------------------------- ascii fold
+
+
+def _fold_tables() -> tuple[str, str]:
+    """1:1 diacritic fold table (Latin-1 Supplement through Latin
+    Extended-B): NFKD-decompose, keep the ascii base char. Built once at
+    import from stdlib unicodedata so the Spark expression and the SQL twin
+    share the exact same literal."""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0xC0, 0x250):
+        ch = chr(cp)
+        folded = unicodedata.normalize("NFKD", ch).encode("ascii", "ignore").decode()
+        if len(folded) == 1:
+            src.append(ch)
+            dst.append(folded)
+    return "".join(src), "".join(dst)
+
+
+# multi-char expansions translate() can't express (anyascii semantics for
+# the symbols the reference's tests exercise: the ("EUR", "€") pair plus
+# common Latin ligatures). The full anyascii table is package data in the
+# reference; this from-scratch fold covers Latin scripts + these symbols
+# and leaves other scripts unmapped (documented divergence).
+FOLD_MULTI = [
+    ("€", "EUR"), ("ß", "ss"), ("ẞ", "SS"),
+    ("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"), ("œ", "oe"),
+    ("Þ", "Th"), ("þ", "th"), ("Ð", "D"), ("ð", "d"),
+]
+_FOLD_SRC, _FOLD_DST = _fold_tables()
+
+
+def ascii_fold(col: Column) -> Column:
+    """Deterministic ascii transliteration (anyascii analogue): multi-char
+    expansions then the 1:1 diacritic translate."""
+    for s, d in FOLD_MULTI:
+        col = F.replace(col, F.lit(s), F.lit(d))
+    return F.translate(col, _FOLD_SRC, _FOLD_DST)
+
+
+def ascii_fold_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ascii_fold` (same tables, same order)."""
+    for s, d in FOLD_MULTI:
+        expr = f"replace({expr}, '{s}', '{d}')"
+    return f"translate({expr}, '{_FOLD_SRC}', '{_FOLD_DST}')"
+
+
 # 4-level string match (doctr/utils/metrics.py:23-41 semantics: raw,
-# caseless, unidecode, unicase; the two ascii-fold levels need a
-# transliteration table — here folded to upper-bound caseless for ascii)
-def string_match(a: Column, b: Column) -> tuple[Column, Column]:
+# caseless, anyascii, unicase — the anyascii levels use the own ascii_fold
+# transliteration above; fold-then-lower ordering matters so ("EUR", "€")
+# matches at unicase, mirroring the reference's comment)
+def string_match(a: Column, b: Column) -> tuple[Column, Column, Column, Column]:
     raw = (a == b).cast("int")
     caseless = (F.lower(a) == F.lower(b)).cast("int")
-    return raw, caseless
+    fa, fb = ascii_fold(a), ascii_fold(b)
+    anyascii = (fa == fb).cast("int")
+    unicase = (F.lower(fa) == F.lower(fb)).cast("int")
+    return raw, caseless, anyascii, unicase
 
 
 # GPT-2-style pre-tokenizer segments (lookahead-free so the Java-regex

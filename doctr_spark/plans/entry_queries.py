@@ -633,26 +633,59 @@ SELECT doc_id, lang, {lang_id_sql("text")} AS pred_lang FROM documents
 """
 
 
+# word pairs exercising every level split (first six are the reference's
+# own TextMatch fixtures, tests/common/test_utils_metrics.py:7-12)
+STRING_MATCH_PAIRS = [
+    (1, "grass", "grass"),      # all levels
+    (2, "56", "56"),            # all levels
+    (3, "True", "true"),        # caseless+unicase only
+    (4, "EUR", "€"),            # anyascii+unicase (the reference's ordering pair)
+    (5, "éléphant", "elephant"),  # anyascii+unicase
+    (6, "ça", "ca"),            # anyascii+unicase
+    (7, "STRASSE", "straße"),   # unicase only (ß -> ss, case differs)
+    (8, "Œuvre", "OEuvre"),     # anyascii+unicase (ligature)
+    (9, "naïve", "naive"),      # anyascii+unicase
+    (10, "left", "right"),      # no level
+]
+
+
 def q_string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """string_match levels (raw/caseless) between text and its uppercased
-    variant, aggregated (TextMatch-style accumulator)."""
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        (F.col("text") == F.upper(F.col("text"))).cast("int").alias("raw"),
-        (F.lower(F.col("text")) == F.lower(F.upper(F.col("text")))).cast("int").alias("caseless"),
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum("raw").cast("long").alias("n_raw_match"),
-        F.sum("caseless").cast("long").alias("n_caseless_match"),
+    """4-level string_match (raw/caseless/anyascii/unicase, reference
+    utils/metrics.py:23-41) over the reference's own TextMatch fixture
+    pairs; the oracle recomputes the ascii fold in SQL from the same
+    tables."""
+    from ..functions.text import string_match
+
+    src = spark.createDataFrame(STRING_MATCH_PAIRS, "case_id long, a string, b string")
+    raw, caseless, anyascii, unicase = string_match(F.col("a"), F.col("b"))
+    return src.select(
+        "case_id",
+        raw.cast("long").alias("raw"),
+        caseless.cast("long").alias("caseless"),
+        anyascii.cast("long").alias("anyascii"),
+        unicase.cast("long").alias("unicase"),
     )
 
 
-STRING_MATCH_ORACLE = """
-SELECT count(*) AS n,
-       CAST(sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_raw_match,
-       CAST(sum(CASE WHEN lower(text) = lower(upper(text)) THEN 1 ELSE 0 END) AS BIGINT) AS n_caseless_match
-FROM documents
+def _string_match_oracle() -> str:
+    from ..functions.text import ascii_fold_sql
+
+    rows = ",\n  ".join(f"({cid}, '{a}', '{b}')" for cid, a, b in STRING_MATCH_PAIRS)
+    fa, fb = ascii_fold_sql("a"), ascii_fold_sql("b")
+    return f"""
+WITH pairs(case_id, a, b) AS (VALUES
+  {rows}
+)
+SELECT CAST(case_id AS BIGINT) AS case_id,
+       CAST(CASE WHEN a = b THEN 1 ELSE 0 END AS BIGINT) AS raw,
+       CAST(CASE WHEN lower(a) = lower(b) THEN 1 ELSE 0 END AS BIGINT) AS caseless,
+       CAST(CASE WHEN {fa} = {fb} THEN 1 ELSE 0 END AS BIGINT) AS anyascii,
+       CAST(CASE WHEN lower({fa}) = lower({fb}) THEN 1 ELSE 0 END AS BIGINT) AS unicase
+FROM pairs
 """
+
+
+STRING_MATCH_ORACLE = _string_match_oracle()
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1422,3 +1455,59 @@ SELECT conv_id, count(*) AS n_turns,
        string_agg(extracted_text, e'\n\n\n\n' ORDER BY turn_idx) AS document_text
 FROM turns GROUP BY conv_id
 """
+
+
+# ---- DetectionMetric (doctr/utils/metrics.py:442-551): IoU assignment +
+#      class comparison; fixtures hand-computed (exact IoUs)
+DETECTION_METRIC_FIXTURES = [
+    # (page_id, gt [(box, label)], pred [(box, label)],
+    #  expected (num_matches, tot_iou, n_gts, n_preds))
+    (1, [([0.0, 0.0, 0.5, 0.5], 0)], [([0.0, 0.0, 0.5, 0.5], 0)], (1, 1.0, 1, 1)),
+    # perfect localization, wrong class -> assigned pair doesn't count
+    (2, [([0.0, 0.0, 0.5, 0.5], 0)], [([0.0, 0.0, 0.5, 0.5], 1)], (0, 1.0, 1, 1)),
+    # IoU 0.25 < 0.5 -> below threshold
+    (3, [([0.0, 0.0, 1.0, 1.0], 2)], [([0.5, 0.5, 1.0, 1.0], 2)], (0, 0.25, 1, 1)),
+    # cross-ordered pairs: assignment must match both, classes agree
+    (4, [([0.0, 0.0, 0.4, 0.4], 0), ([0.6, 0.6, 1.0, 1.0], 1)],
+        [([0.6, 0.6, 1.0, 1.0], 1), ([0.0, 0.0, 0.4, 0.4], 0)], (2, 2.0, 2, 2)),
+    # empty prediction side: gts still counted
+    (5, [([0.0, 0.0, 0.5, 0.5], 0)], [], (0, 0.0, 1, 0)),
+]
+
+
+def q_detection_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page DetectionMetric accumulators (num_matches / tot_iou /
+    n_gts / n_preds) over hand-computed fixtures."""
+    from ..functions.metrics import detection_matches
+
+    src = spark.createDataFrame(
+        [(pid, json.dumps(gt), json.dumps(pred)) for pid, gt, pred, _ in DETECTION_METRIC_FIXTURES],
+        "page_id long, gt string, pred string",
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for pid, gt_s, pred_s in zip(pdf["page_id"], pdf["gt"], pdf["pred"]):
+                gt = json.loads(gt_s)
+                pred = json.loads(pred_s)
+                m, tiou, ng, np_ = detection_matches(
+                    np.asarray([b for b, _ in gt], dtype=np.float64).reshape(-1, 4),
+                    np.asarray([c for _, c in gt], dtype=np.int64),
+                    np.asarray([b for b, _ in pred], dtype=np.float64).reshape(-1, 4),
+                    np.asarray([c for _, c in pred], dtype=np.int64),
+                )
+                rows.append(
+                    {"page_id": pid, "num_matches": m, "tot_iou": round(tiou, 6),
+                     "n_gts": ng, "n_preds": np_}
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, "page_id long, num_matches long, tot_iou double, n_gts long, n_preds long")
+
+
+DETECTION_METRIC_ORACLE = values_oracle(
+    [(pid, e[0], e[1], e[2], e[3]) for pid, _, _, e in DETECTION_METRIC_FIXTURES],
+    [("page_id", "BIGINT"), ("num_matches", "BIGINT"), ("tot_iou", "DOUBLE"),
+     ("n_gts", "BIGINT"), ("n_preds", "BIGINT")],
+)

@@ -172,3 +172,52 @@ def test_export_kie_xml():
     assert "baseline 0 0; x_size 0; x_descenders 0; x_ascenders 0" in xml
     # classes sorted: number < symbol < word; count runs globally
     assert xml.index("number_prediction_1") < xml.index("symbol_prediction_2") < xml.index("word_prediction_3")
+
+
+def test_detection_metric_reference_example():
+    """The reference DetectionMetric docstring example
+    (utils/metrics.py:472-476): one gt, two preds, best IoU 0.49 < 0.5."""
+    import numpy as np
+
+    from doctr_spark.functions.metrics import detection_matches, detection_metric_summary
+
+    m, tot_iou, ng, npred = detection_matches(
+        np.asarray([[0, 0, 100, 100]], dtype=np.float64),
+        np.zeros(1, dtype=np.int64),
+        np.asarray([[0, 0, 70, 70], [110, 95, 200, 150]], dtype=np.float64),
+        np.array([0, 1], dtype=np.int64),
+    )
+    assert (m, ng, npred) == (0, 1, 2)
+    assert abs(tot_iou - 0.49) < 1e-9  # 70*70 / 100*100 best-IoU + 0
+    recall, precision, mean_iou = detection_metric_summary(m, tot_iou, ng, npred)
+    assert recall == 0.0 and precision == 0.0 and mean_iou == 0.24  # round(0.245, 2)
+
+
+def test_detection_metric_class_gate_and_empty():
+    import numpy as np
+
+    from doctr_spark.functions.metrics import detection_matches, detection_metric_summary
+
+    # same box, wrong class -> localization assigned but not counted
+    m, tiou, ng, npred = detection_matches(
+        np.asarray([[0, 0, 1, 1]]), np.asarray([3]), np.asarray([[0, 0, 1, 1]]), np.asarray([4])
+    )
+    assert (m, tiou, ng, npred) == (0, 1.0, 1, 1)
+    # empty sides -> None summaries like the reference
+    assert detection_metric_summary(0, 0.0, 0, 0) == (None, None, None)
+
+
+def test_text_match_four_levels(spark):
+    from doctr_spark.functions.metrics import text_match
+
+    df = spark.createDataFrame(
+        [("grass", "grass"), ("56", "56"), ("True", "true"), ("EUR", "€")],
+        "gt string, pred string",
+    )
+    row = text_match(df, "gt", "pred").collect()[0]
+    # the reference TextMatch fixture: raw .5, caseless .75, anyascii .75, unicase 1
+    assert row["n"] == 4
+    assert row["raw_acc"] == 0.5
+    assert row["caseless_acc"] == 0.75
+    assert row["anyascii_acc"] == 0.75
+    assert row["unicase_acc"] == 1.0
