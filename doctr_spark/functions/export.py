@@ -15,9 +15,36 @@ import json
 from xml.sax.saxutils import escape
 
 
-def page_export(words: list[dict], dims: tuple[int, int], page_idx: int = 0) -> dict:
+def artefact_render(artefact_type: str) -> str:
+    """Render semantics of a non-textual Artefact element — ``[TYPE]``
+    (reference io/elements.py:109-138 Artefact.render)."""
+    return f"[{artefact_type.upper()}]"
+
+
+def artefact_export(artefacts: list[dict]) -> list[dict]:
+    """Artefact dicts -> exported nodes with the reference's
+    ``_exported_keys`` (geometry, type, confidence)."""
+    return [
+        {
+            "geometry": ((a["xmin"], a["ymin"]), (a["xmax"], a["ymax"])),
+            "type": a.get("type", "block"),
+            "confidence": a.get("confidence", 1.0),
+        }
+        for a in artefacts
+    ]
+
+
+def page_export(
+    words: list[dict],
+    dims: tuple[int, int],
+    page_idx: int = 0,
+    artefacts: list[dict] | None = None,
+) -> dict:
     """Nested export dict from the flat words array (value/confidence/
-    geometry/line_idx/word_idx), one block holding all lines."""
+    geometry/line_idx/word_idx), one block holding all lines; detected
+    non-text artefacts export as typed Artefact nodes on the block (they
+    render as [TYPE] and never contribute to the block text, reference
+    io/elements.py:109-138)."""
     lines: dict[int, list[dict]] = {}
     for w in sorted(words, key=lambda w: (w["line_idx"], w["word_idx"])):
         lines.setdefault(w["line_idx"], []).append(
@@ -43,9 +70,10 @@ def page_export(words: list[dict], dims: tuple[int, int], page_idx: int = 0) -> 
         if line_objs
         else ((0.0, 0.0), (0.0, 0.0)),
         "lines": line_objs,
-        "artefacts": [],
+        "artefacts": artefact_export(artefacts or []),
     }
-    return {"page_idx": page_idx, "dimensions": dims, "blocks": [block] if line_objs else []}
+    has_content = bool(line_objs) or bool(block["artefacts"])
+    return {"page_idx": page_idx, "dimensions": dims, "blocks": [block] if has_content else []}
 
 
 def page_from_dict(d: dict) -> list[dict]:

@@ -25,6 +25,69 @@ def quads_to_straight(quads: np.ndarray) -> np.ndarray:
     return np.concatenate((q.min(axis=1), q.max(axis=1)), axis=-1)
 
 
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """(N,2) points -> counter-clockwise convex hull (Andrew monotone
+    chain; no scipy/cv2 in this container)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64).reshape(-1, 2), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort is given by np.unique
+    def half(iterable):
+        chain: list[np.ndarray] = []
+        for p in iterable:
+            while len(chain) >= 2 and np.cross(chain[-1] - chain[-2], p - chain[-2]) <= 0:
+                chain.pop()
+            chain.append(p)
+        return chain
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(points: np.ndarray) -> np.ndarray:
+    """Minimum-area enclosing rotated rectangle of a point cloud, as (4,2)
+    corner points — the cv2.minAreaRect + boxPoints pair re-implemented
+    with rotating calipers over the convex hull (the optimal rectangle
+    shares a side with some hull edge). Corners are returned in
+    counter-clockwise order starting from the corner with the smallest
+    (y, x) — a deterministic convention where cv2's start corner is
+    representation-dependent."""
+    hull = convex_hull(points)
+    if len(hull) == 1:
+        return np.repeat(hull, 4, axis=0)
+    if len(hull) == 2:
+        a, b = hull
+        return np.array([a, b, b, a])
+    edges = np.roll(hull, -1, axis=0) - hull
+    angles = np.arctan2(edges[:, 1], edges[:, 0])
+    best = None
+    for theta in angles:
+        c, s = np.cos(-theta), np.sin(-theta)
+        rot = np.array([[c, -s], [s, c]])
+        proj = hull @ rot.T
+        mn, mx = proj.min(axis=0), proj.max(axis=0)
+        area = float((mx[0] - mn[0]) * (mx[1] - mn[1]))
+        if best is None or area < best[0] - 1e-15:
+            corners_local = np.array(
+                [[mn[0], mn[1]], [mx[0], mn[1]], [mx[0], mx[1]], [mn[0], mx[1]]]
+            )
+            best = (area, corners_local @ rot)
+    corners = best[1]
+    start = np.lexsort((corners[:, 0], corners[:, 1]))[0]
+    return np.roll(corners, -start, axis=0)
+
+
+def resolve_enclosing_rbbox(rbboxes: list[np.ndarray] | np.ndarray) -> np.ndarray:
+    """Enclosing ROTATED bbox of a set of (*, 4, 2) polys: min-area
+    rectangle over the merged point cloud — reference
+    utils/geometry.py:99-118 semantics (which round-trips through a
+    1024-px int grid for cv2; this exact float version skips the
+    quantization)."""
+    cloud = np.concatenate([np.asarray(b, dtype=np.float64).reshape(-1, 2) for b in rbboxes], axis=0)
+    return min_area_rect(cloud)
+
+
 def estimate_page_angle(polys: np.ndarray) -> float:
     """Median skew angle (degrees) over (N,4,2) polys whose points are ordered
     top-left, top-right, bottom-right, bottom-left: arctan of the top edge."""

@@ -1143,6 +1143,18 @@ TRANSLATE_FIXTURES = [
     (3, "naïve — café", "latin", "naive■cafe"),
     (4, "ABC xyz 123", "digits", "■■■■■■123"),
     (5, "Grüße!", "german", "Grüße!"),
+    # breadth of the full reference vocab table (datasets/vocabs.py:11-155)
+    (6, "Živjeli čaše", "croatian", "Živjeličaše"),
+    (7, "zażółć gęślą", "polish", "zażółćgęślą"),
+    (8, "smörgåsbord", "swedish", "smörgåsbord"),
+    (9, "Привет мир 42", "russian", "Приветмир42"),
+    (10, "добрий день ₴", "ukrainian", "добрийдень₴"),
+    # the hindi vocab has no dependent vowel signs (matras): U+0947 -> '■'
+    (11, "नमस्ते १२३", "hindi", "नमस्त■१२३"),
+    (12, "שלום עולם", "hebrew", "שלוםעולם"),
+    (13, "chào thế giới", "vietnamese", "chàothếgiới"),
+    (14, "Ærø København", "danish", "ÆrøKøbenhavn"),
+    (15, "Привет café", "multilingual", "■■■■■■café"),
 ]
 
 

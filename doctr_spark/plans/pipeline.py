@@ -40,7 +40,9 @@ EXTRACT_SCHEMA = (
     "extracted_text string, n_pages int, n_boxes int, n_artefacts int, n_chars int, "
     "strip_ratio double, min_conf double, "
     "words array<struct<value:string, confidence:double, xmin:double, "
-    "ymin:double, xmax:double, ymax:double, page_idx:int, line_idx:int, word_idx:int>>"
+    "ymin:double, xmax:double, ymax:double, page_idx:int, line_idx:int, word_idx:int>>, "
+    "artefacts array<struct<type:string, confidence:double, xmin:double, "
+    "ymin:double, xmax:double, ymax:double, page_idx:int>>"
 )
 
 # a detected region whose raw-ink fill exceeds this is a non-text artefact
@@ -57,11 +59,15 @@ def extract_turn_ocr(
     detection_hooks: list | None = None,
     detector=None,
     recognizer=None,
-) -> tuple[str, int, int, int, float, list[dict]]:
+) -> tuple[str, int, int, int, float, list[dict], list[dict]]:
     """Decode a page bundle and run [orient ->] detect -> [hooks ->] crop ->
     recognize -> build per page.
 
-    Returns (document_text, n_pages, n_boxes, n_artefacts, min_conf, words).
+    Returns (document_text, n_pages, n_boxes, n_artefacts, min_conf, words,
+    artefacts) — artefacts are the typed non-text nodes (reference
+    io/elements.py:109-138): they carry geometry/type/confidence, render as
+    [TYPE] via functions/export.artefact_render, and never contribute to
+    the extracted text.
     ``detect_orientation`` mirrors docTR's optional orientation stage
     (default off = the assume_straight_pages fast path).
     ``detection_hooks``: callables (boxes:(N,5)) -> (N,5) applied to the
@@ -85,7 +91,7 @@ def extract_pages_ocr(
     detection_hooks: list | None = None,
     detector=None,
     recognizer=None,
-) -> tuple[str, int, int, int, float, list[dict]]:
+) -> tuple[str, int, int, int, float, list[dict], list[dict]]:
     """OCR chain over already-decoded grayscale pages (the shared core of
     the bundle / PDF / image payload routes)."""
     if detector is None:
@@ -94,6 +100,7 @@ def extract_pages_ocr(
         recognizer = resolve_model(*DEFAULT_RECOGNIZER)
     page_texts: list[str] = []
     words_out: list[dict] = []
+    artefacts_out: list[dict] = []
     n_boxes = 0
     n_artefacts = 0
     min_conf = 1.0
@@ -113,8 +120,20 @@ def extract_pages_ocr(
         for i, c in enumerate(crops):
             if c.size == 0:
                 continue
-            if float((c < 128).mean()) > ARTEFACT_FILL_THRESH:
+            fill = float((c < 128).mean())
+            if fill > ARTEFACT_FILL_THRESH:
                 n_artefacts += 1
+                artefacts_out.append(
+                    {
+                        "type": "block",
+                        "confidence": round(fill, 6),
+                        "xmin": float(boxes[i, 0]),
+                        "ymin": float(boxes[i, 1]),
+                        "xmax": float(boxes[i, 2]),
+                        "ymax": float(boxes[i, 3]),
+                        "page_idx": page_idx,
+                    }
+                )
                 continue
             keep.append(i)
         boxes = boxes[keep]
@@ -129,7 +148,10 @@ def extract_pages_ocr(
         for w in built.words:
             w["page_idx"] = page_idx
             words_out.append(w)
-    return PAGE_SEP.join(page_texts), len(pages), n_boxes, n_artefacts, min_conf, words_out
+    return (
+        PAGE_SEP.join(page_texts), len(pages), n_boxes, n_artefacts, min_conf,
+        words_out, artefacts_out,
+    )
 
 
 def _extract_batch(
@@ -144,10 +166,11 @@ def _extract_batch(
     ):
         payload = parse_tool_envelope(tool) if tool else None
         words: list[dict] = []
+        artefacts: list[dict] = []
         n_pages, n_boxes, n_artefacts, min_conf, strip_ratio = 0, 0, 0, 1.0, 1.0
         if payload is not None and payload[0] == "page_bundle":
             kind = "ocr"
-            extracted, n_pages, n_boxes, n_artefacts, min_conf, words = extract_turn_ocr(
+            extracted, n_pages, n_boxes, n_artefacts, min_conf, words, artefacts = extract_turn_ocr(
                 payload[1], detect_orientation, detector=detector, recognizer=recognizer
             )
         elif payload is not None and payload[0] in ("pdf", "image"):
@@ -160,7 +183,7 @@ def _extract_batch(
             raw_pages = (
                 read_pdf_pages(payload[1]) if payload[0] == "pdf" else [read_image(payload[1])]
             )
-            extracted, n_pages, n_boxes, n_artefacts, min_conf, words = extract_pages_ocr(
+            extracted, n_pages, n_boxes, n_artefacts, min_conf, words, artefacts = extract_pages_ocr(
                 [to_grayscale(p) for p in raw_pages],
                 DEFAULT_SCALE,
                 detect_orientation,
@@ -202,13 +225,21 @@ def _extract_batch(
                     )
                     for w in words
                 ],
+                "artefacts": [
+                    (
+                        a["type"], a["confidence"], a["xmin"], a["ymin"],
+                        a["xmax"], a["ymax"], a["page_idx"],
+                    )
+                    for a in artefacts
+                ],
             }
         )
     return pd.DataFrame(
         out_rows,
         columns=[
             "conv_id", "turn_idx", "role", "ts", "payload_kind", "extracted_text",
-            "n_pages", "n_boxes", "n_artefacts", "n_chars", "strip_ratio", "min_conf", "words",
+            "n_pages", "n_boxes", "n_artefacts", "n_chars", "strip_ratio", "min_conf",
+            "words", "artefacts",
         ],
     )
 

@@ -186,8 +186,8 @@ def test_detection_hook_applied():
 
     img, _ = rp(["AAA", "BBB"], scale=3)
     bundle = encode_page_bundle([img], 3)
-    full, _, n_all, _, _, _ = extract_turn_ocr(bundle)
+    full, _, n_all, _, _, _, _ = extract_turn_ocr(bundle)
     assert full == "AAA BBB" and n_all == 2
     drop_low_x = lambda b: b[b[:, 0] > 0.1]  # noqa: E731
-    hooked, _, n_hooked, _, _, _ = extract_turn_ocr(bundle, detection_hooks=[drop_low_x])
+    hooked, _, n_hooked, _, _, _, _ = extract_turn_ocr(bundle, detection_hooks=[drop_low_x])
     assert n_hooked == 1 and hooked == "BBB"

@@ -221,3 +221,71 @@ def test_text_match_four_levels(spark):
     assert row["caseless_acc"] == 0.75
     assert row["anyascii_acc"] == 0.75
     assert row["unicase_acc"] == 1.0
+
+
+def test_min_area_rect_and_enclosing_rbbox():
+    import numpy as np
+
+    from doctr_spark.operators.geometry import (
+        convex_hull,
+        min_area_rect,
+        resolve_enclosing_rbbox,
+    )
+
+    # axis-aligned cloud -> its own bbox
+    pts = np.array([[0, 0], [2, 0], [2, 1], [0, 1], [1, 0.5]])
+    r = min_area_rect(pts)
+    assert np.allclose(sorted(map(tuple, r)), [[0, 0], [0, 1], [2, 0], [2, 1]])
+    # 45-degree diamond: min-area rect IS the diamond (area 2), not the
+    # axis-aligned bbox (area 4)
+    diam = np.array([[1, 0], [2, 1], [1, 2], [0, 1]], dtype=float)
+    r2 = min_area_rect(diam)
+    area = 0.5 * abs(
+        sum(
+            r2[i][0] * r2[(i + 1) % 4][1] - r2[(i + 1) % 4][0] * r2[i][1]
+            for i in range(4)
+        )
+    )
+    assert abs(area - 2.0) < 1e-9
+    # enclosing rbbox over two skewed quads covers every input point
+    q1 = np.array([[[0, 0], [1, 0.2], [0.96, 0.4], [-0.04, 0.2]]])
+    q2 = np.array([[[2, 0.4], [3, 0.6], [2.96, 0.8], [1.96, 0.6]]])
+    rb = resolve_enclosing_rbbox([q1, q2])
+    assert rb.shape == (4, 2)
+    hull = convex_hull(np.concatenate([q1.reshape(-1, 2), q2.reshape(-1, 2)]))
+    # every hull point inside (or on) the rect: check via the rect's edges
+    for p in hull:
+        for i in range(4):
+            a, b = rb[i], rb[(i + 1) % 4]
+            assert np.cross(b - a, p - a) >= -1e-9
+
+
+def test_artefact_nodes_in_export():
+    """Artefacts flow detector -> pipeline -> export tree as typed nodes
+    with [TYPE] render semantics (reference io/elements.py:109-138), and
+    never pollute the extracted text."""
+    import numpy as np
+
+    from doctr_spark.functions.export import artefact_render, page_export
+    from doctr_spark.plans.pipeline import extract_turn_ocr
+    from doctr_spark.sources.corpus import _append_artefact
+    from doctr_spark.sources.font import expected_page_lines, render_page
+    from doctr_spark.sources.payloads import encode_page_bundle
+
+    words = ["ALPHA", "BRAVO", "42"]
+    img, _ = render_page(words, scale=3)
+    img = _append_artefact(img, seed=12345, scale=3)
+    bundle = encode_page_bundle([img], 3)
+    text, n_pages, n_boxes, n_artefacts, _, word_dicts, artefacts = extract_turn_ocr(bundle)
+    assert text == "\n".join(expected_page_lines(words, scale=3))  # text unpolluted
+    assert n_artefacts == 1 and len(artefacts) == 1
+    a = artefacts[0]
+    assert a["type"] == "block" and a["confidence"] > 0.3 and a["page_idx"] == 0
+    assert 0.0 <= a["xmin"] < a["xmax"] <= 1.0
+
+    d = page_export(word_dicts, img.shape, artefacts=artefacts)
+    nodes = d["blocks"][0]["artefacts"]
+    assert len(nodes) == 1
+    assert nodes[0]["type"] == "block"
+    assert nodes[0]["geometry"] == ((a["xmin"], a["ymin"]), (a["xmax"], a["ymax"]))
+    assert artefact_render(nodes[0]["type"]) == "[BLOCK]"

@@ -137,3 +137,37 @@ def test_translate():
     assert translate("ab cd", "latin") == "abcd"
     assert translate("ab\xa0cd", "latin") == "ab■cd"  # NBSP is not str.whitespace
     assert translate("a☃b", "latin") == "a■b"
+
+
+def test_vocab_table_breadth():
+    """The full reference vocab table (datasets/vocabs.py:11-155) ships as
+    data: spot-check sizes, composition identities, and ordering (encode
+    index = position)."""
+    import string
+
+    from doctr_spark.functions.vocabs import VOCABS, encode_string
+
+    # component + composed entries all present
+    for name in (
+        "arabic", "bangla", "gujarati", "hindi", "hebrew", "russian",
+        "ukrainian", "czech", "danish", "dutch", "finnish", "croatian",
+        "norwegian", "polish", "swedish", "vietnamese", "multilingual",
+        "ancient_greek",
+    ):
+        assert name in VOCABS and len(VOCABS[name]) > 0
+    assert len(VOCABS) >= 53
+    # composition identities
+    assert VOCABS["latin"] == string.digits + string.ascii_letters + string.punctuation
+    assert VOCABS["english"] == VOCABS["latin"] + "°" + "£€¥¢฿"
+    assert VOCABS["french"].startswith(VOCABS["english"])
+    assert VOCABS["russian"].endswith("₽") and VOCABS["ukrainian"].endswith("₴")
+    # hebrew composes all five component sets
+    for part in ("hebrew_letters", "hebrew_vowels", "hebrew_punctuation",
+                 "hebrew_cantillations", "hebrew_specials"):
+        assert VOCABS[part] in VOCABS["hebrew"]
+    # multilingual is deduplicated and ends with the section sign
+    assert len(set(VOCABS["multilingual"])) == len(VOCABS["multilingual"])
+    assert VOCABS["multilingual"].endswith("§")
+    # ordering contract: digit '5' encodes to index 5 in every digit-prefixed vocab
+    assert encode_string("5", VOCABS["latin"]) == [5]
+    assert encode_string("५", VOCABS["hindi"])[0] == len(VOCABS["hindi_letters"]) + 5
