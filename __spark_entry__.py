@@ -630,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_padding": EQ.q_remove_padding,
         "ocr_quality": EQ.q_ocr_quality,
         "detection_metric": EQ.q_detection_metric,
+        "pii_scrub": EQ.q_pii_scrub,
+        "url_stats": EQ.q_url_stats,
         # --- multimodal
         "bundle_metadata": _q_bundle_metadata,
     }
@@ -693,6 +695,8 @@ def oracle_sql() -> dict[str, str]:
         "bundle_metadata": _BUNDLE_METADATA_ORACLE,
         "ocr_quality": _OCR_QUALITY_ORACLE,
         "detection_metric": EQ.DETECTION_METRIC_ORACLE,
+        "pii_scrub": EQ.PII_ORACLE,
+        "url_stats": EQ.URL_STATS_ORACLE,
         # every registered query now has an oracle row: VALUES fixtures are
         # pinned by independent computations (exhaustive brute force /
         # deterministic generator); see each oracle's header comment

@@ -198,6 +198,85 @@ def string_match(a: Column, b: Column) -> tuple[Column, Column, Column, Column]:
     return raw, caseless, anyascii, unicase
 
 
+# ------------------------------------------------------------ PII scrub
+
+# Ordered redaction rules (training-data curation staple). Patterns use
+# only constructs with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repeats, \b — no lookaround, no
+# backreferences. ORDER MATTERS: email first (its digits must not be
+# phone-eaten), id/ip before phone (the phone class includes dots and
+# dashes and would swallow both).
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9()\-\s.]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails / SSN-style ids / IPv4s / international phone numbers
+    to typed tags, applied in rule order so earlier redactions can't be
+    re-matched (tags carry no digits). Pure JVM regexp_replace chain — the
+    scrub runs inside whole-stage codegen, no Python."""
+    for _, pat, tag in PII_RULES:
+        col = F.regexp_replace(col, pat, tag)
+    return col
+
+
+def scrub_pii_sql(expr: str) -> str:
+    """DuckDB twin of :func:`scrub_pii` (same rules, same order; DuckDB
+    standard strings pass backslashes through verbatim)."""
+    for _, pat, tag in PII_RULES:
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{tag}', 'g')"
+    return expr
+
+
+def pii_count_cols(col: Column) -> list[Column]:
+    """Per-rule match counts, evaluated on the progressively scrubbed text
+    (identical to what scrub_pii replaces at each stage)."""
+    out = []
+    for _, pat, tag in PII_RULES:
+        out.append(F.size(F.regexp_extract_all(col, F.lit(pat), 0)))
+        col = F.regexp_replace(col, pat, tag)
+    return out
+
+
+def pii_count_sql(expr: str) -> list[str]:
+    out = []
+    for _, pat, tag in PII_RULES:
+        pat_sql = pat.replace("'", "''")
+        out.append(f"len(regexp_extract_all({expr}, '{pat_sql}'))")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{tag}', 'g')"
+    return out
+
+
+# ------------------------------------------------------------ URL stats
+
+URL_REGEX = r"https?://[^\s/$.?#][^\s]*"
+DOMAIN_REGEX = r"https?://([^/\s:]+)"
+
+
+def url_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(URL_REGEX), 0))
+
+
+def distinct_domains_csv(col: Column) -> Column:
+    """Sorted comma-joined distinct domains referenced by a text column
+    (the blocklist-filtering primitive). JVM-side end to end."""
+    return F.array_join(
+        F.array_sort(F.array_distinct(F.regexp_extract_all(col, F.lit(DOMAIN_REGEX), 1))), ","
+    )
+
+
+URL_COUNT_SQL = "len(regexp_extract_all({c}, 'https?://[^\\s/$.?#][^\\s]*'))"
+DOMAINS_CSV_SQL = (
+    "coalesce(array_to_string(list_sort(list_distinct("
+    "regexp_extract_all({c}, 'https?://([^/\\s:]+)', 1))), ','), '')"
+)
+
+
 # GPT-2-style pre-tokenizer segments (lookahead-free so the Java-regex
 # Spark side and the RE2 DuckDB oracle scan identically): contractions,
 # optionally space-prefixed letter runs / digit runs / symbol runs.

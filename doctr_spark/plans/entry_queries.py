@@ -1523,3 +1523,90 @@ DETECTION_METRIC_ORACLE = values_oracle(
     [("page_id", "BIGINT"), ("num_matches", "BIGINT"), ("tot_iou", "DOUBLE"),
      ("n_gts", "BIGINT"), ("n_preds", "BIGINT")],
 )
+
+
+# ---- PII scrub + URL stats (training-data curation; JVM regex chains
+#      with RE2-identical DuckDB twins)
+PII_FIXTURES = [
+    (1, "contact bob.smith+spam@example.co.uk or call +1 (415) 555-0173 now"),
+    (2, "server at 192.168.10.1 and backup at 10.0.0.254 went down"),
+    (3, "ssn 123-45-6789 leaked beside id 987-65-4321"),
+    (4, "mixed: a@b.io +44 20 7946 0958 and 8.8.8.8 at https://dns.google/info"),
+    (5, "perfectly clean prose with no identifiers at all"),
+    (6, "see https://spark.apache.org/docs and http://spark.apache.org/sql plus https://duckdb.org"),
+]
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails/ids/IPs/phones to typed tags + per-rule counts; the
+    oracle re-runs the identical regex chain in DuckDB (RE2), so the
+    driver check proves Java-regex/RE2 semantic agreement on the rules."""
+    from ..functions.text import pii_count_cols, scrub_pii
+
+    src = spark.createDataFrame(PII_FIXTURES, "case_id long, text string")
+    counts = pii_count_cols(F.col("text"))
+    return src.select(
+        "case_id",
+        scrub_pii(F.col("text")).alias("scrubbed"),
+        counts[0].cast("long").alias("n_email"),
+        counts[1].cast("long").alias("n_ssn"),
+        counts[2].cast("long").alias("n_ipv4"),
+        counts[3].cast("long").alias("n_phone"),
+    )
+
+
+def _pii_oracle() -> str:
+    from ..functions.text import pii_count_sql, scrub_pii_sql
+
+    rows = ",\n  ".join(
+        "({}, '{}')".format(cid, t.replace("'", "''")) for cid, t in PII_FIXTURES
+    )
+    c_email, c_ssn, c_ip, c_phone = pii_count_sql("text")
+    return f"""
+WITH src(case_id, text) AS (VALUES
+  {rows}
+)
+SELECT CAST(case_id AS BIGINT) AS case_id,
+       {scrub_pii_sql("text")} AS scrubbed,
+       CAST({c_email} AS BIGINT) AS n_email,
+       CAST({c_ssn} AS BIGINT) AS n_ssn,
+       CAST({c_ip} AS BIGINT) AS n_ipv4,
+       CAST({c_phone} AS BIGINT) AS n_phone
+FROM src
+"""
+
+
+PII_ORACLE = _pii_oracle()
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL count + sorted distinct domains per fixture row (the
+    domain-blocklist filtering primitive)."""
+    from ..functions.text import distinct_domains_csv, url_count
+
+    src = spark.createDataFrame(PII_FIXTURES, "case_id long, text string")
+    return src.select(
+        "case_id",
+        url_count(F.col("text")).cast("long").alias("n_urls"),
+        distinct_domains_csv(F.col("text")).alias("domains_csv"),
+    )
+
+
+def _url_oracle() -> str:
+    from ..functions.text import DOMAINS_CSV_SQL, URL_COUNT_SQL
+
+    rows = ",\n  ".join(
+        "({}, '{}')".format(cid, t.replace("'", "''")) for cid, t in PII_FIXTURES
+    )
+    return f"""
+WITH src(case_id, text) AS (VALUES
+  {rows}
+)
+SELECT CAST(case_id AS BIGINT) AS case_id,
+       CAST({URL_COUNT_SQL.format(c="text")} AS BIGINT) AS n_urls,
+       {DOMAINS_CSV_SQL.format(c="text")} AS domains_csv
+FROM src
+"""
+
+
+URL_STATS_ORACLE = _url_oracle()

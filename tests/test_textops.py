@@ -283,3 +283,35 @@ def test_deterministic_sample_stability(spark, docs):
     import pytest as _pt
     with _pt.raises(ValueError):
         sample_threshold_hex(1.5)
+
+
+def test_scrub_pii_and_url_stats(spark):
+    from doctr_spark.functions.text import (
+        distinct_domains_csv,
+        pii_count_cols,
+        scrub_pii,
+        url_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@c.de, dial +49 30 123456, host 10.0.0.1, ssn 111-22-3333"),
+            (2, "no identifiers, just https://example.org/x and https://example.org/y"),
+        ],
+        "id long, text string",
+    )
+    counts = pii_count_cols(F.col("text"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            scrub_pii(F.col("text")).alias("s"),
+            counts[0].alias("e"), counts[1].alias("n"), counts[2].alias("i"), counts[3].alias("p"),
+            url_count(F.col("text")).alias("u"),
+            distinct_domains_csv(F.col("text")).alias("d"),
+        ).collect()
+    }
+    assert out[1]["s"] == "mail <EMAIL>, dial <PHONE>, host <IP>, ssn <ID>"
+    assert (out[1]["e"], out[1]["n"], out[1]["i"], out[1]["p"]) == (1, 1, 1, 1)
+    assert out[2]["s"].startswith("no identifiers")
+    assert out[2]["u"] == 2 and out[2]["d"] == "example.org"  # distinct domains
