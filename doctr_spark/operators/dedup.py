@@ -246,21 +246,33 @@ def minhash_verified_near_duplicates(
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash long): 64-bit SimHash over word tokens (crc32-seeded
-    two-way hash for 64 bits, +/-1 bit votes)."""
+    two-way hash for 64 bits, +/-1 bit votes).
+
+    Vectorized per Arrow batch: token hashing stays a (cheap) Python loop,
+    but bit extraction / voting / packing run as three numpy passes over
+    the whole batch's token matrix — one (n_tokens, 64) unpack, a cumsum
+    segmented per doc, one packed reduction — instead of 64-element
+    allocations per token."""
+    crc32 = zlib.crc32
+    shifts = np.arange(64, dtype=np.uint64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            hashes: list[int] = []
+            offsets = [0]
             for text in pdf[text_col].astype(str):
-                votes = np.zeros(64, dtype=np.int64)
-                shifts = np.arange(64, dtype=np.uint64)
                 for tok in set(text.lower().split()):
-                    h = np.uint64(zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode() + b"#") << 32))
-                    bits = (h >> shifts) & np.uint64(1)
-                    votes += np.where(bits > 0, 1, -1)
-                sh = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
-                out.append(np.int64(np.uint64(sh)))  # wrap to signed for LongType
-            yield pd.DataFrame({"id": pdf[id_col].values, "simhash": out})
+                    # NB: string-reverse (not byte-reverse) — multi-byte
+                    # UTF-8 tokens hash differently otherwise
+                    hashes.append(crc32(tok.encode()) | (crc32(tok[::-1].encode() + b"#") << 32))
+                offsets.append(len(hashes))
+            h = np.array(hashes, dtype=np.uint64).reshape(-1)
+            signs = (((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2) - 1
+            cs = np.vstack([np.zeros((1, 64), dtype=np.int64), np.cumsum(signs, axis=0)])
+            off = np.asarray(offsets)
+            votes = cs[off[1:]] - cs[off[:-1]]  # (n_docs, 64) segment sums
+            packed = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame({"id": pdf[id_col].values, "simhash": packed.astype(np.int64)})
 
     return df.select(id_col, text_col).mapInPandas(run, schema="id long, simhash long")
 
