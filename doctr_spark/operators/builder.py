@@ -207,3 +207,18 @@ def build_page(
 
     page_text = render_page(block_texts)
     return BuiltPage(text=page_text, words=words_out, lines=lines_out, n_words=len(words_out))
+
+
+def line_rbboxes(quads: np.ndarray) -> list[tuple[list[list[int]], np.ndarray]]:
+    """Rotated-geometry line resolution: group (N,4,2) word quads into
+    reading-order lines (de-skewed keys, builder parity) and give each line
+    its enclosing ROTATED bbox via min-area rect — the reference's
+    non-export_as_straight_boxes `_build_blocks` geometry
+    (models/builder.py + utils/geometry.py:99-118), no cv2.
+
+    Returns [(word_indices, (4,2) rbbox)] per line."""
+    from .geometry import resolve_enclosing_rbbox
+
+    q = np.asarray(quads, dtype=np.float64)
+    lines = resolve_lines(q)
+    return [(line, resolve_enclosing_rbbox([q[line]])) for line in lines]

@@ -101,5 +101,19 @@ def _load_glyph_recognizer() -> Callable:
     return recognize
 
 
+def _load_glyph_orientation() -> Callable:
+    """Deterministic orientation classifier: glyph-hit score over the 4
+    quarter turns (the OrientationPredictor contract —
+    ``(page, scale) -> k`` where k is the ccw quarter-turn count that
+    uprights the page)."""
+    from ..operators.orientation import estimate_page_orientation
+
+    def orient(page: np.ndarray, scale: int) -> int:
+        return estimate_page_orientation(page, scale)
+
+    return orient
+
+
 DEFAULT_DETECTOR: ModelLoader = ("ink-fuse-default", _load_ink_detector)
 DEFAULT_RECOGNIZER: ModelLoader = ("glyph-ctc-default", _load_glyph_recognizer)
+DEFAULT_ORIENTATION: ModelLoader = ("glyph-orient-default", _load_glyph_orientation)

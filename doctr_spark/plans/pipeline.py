@@ -33,7 +33,13 @@ from ..functions.html import extract_main_text, looks_like_html
 from ..operators.builder import build_page
 from ..operators.geometry import extract_crops
 from ..sources.payloads import decode_page_bundle, parse_tool_envelope
-from .models import DEFAULT_DETECTOR, DEFAULT_RECOGNIZER, ModelLoader, resolve_model
+from .models import (
+    DEFAULT_DETECTOR,
+    DEFAULT_ORIENTATION,
+    DEFAULT_RECOGNIZER,
+    ModelLoader,
+    resolve_model,
+)
 
 EXTRACT_SCHEMA = (
     "conv_id string, turn_idx int, role string, ts timestamp, payload_kind string, "
@@ -91,13 +97,18 @@ def extract_pages_ocr(
     detection_hooks: list | None = None,
     detector=None,
     recognizer=None,
+    orienter=None,
 ) -> tuple[str, int, int, int, float, list[dict], list[dict]]:
     """OCR chain over already-decoded grayscale pages (the shared core of
-    the bundle / PDF / image payload routes)."""
+    the bundle / PDF / image payload routes). ``orienter`` follows the
+    OrientationPredictor contract ((page, scale) -> quarter turns); like
+    detector/recognizer it is a pluggable model instance."""
     if detector is None:
         detector = resolve_model(*DEFAULT_DETECTOR)
     if recognizer is None:
         recognizer = resolve_model(*DEFAULT_RECOGNIZER)
+    if orienter is None and detect_orientation:
+        orienter = resolve_model(*DEFAULT_ORIENTATION)
     page_texts: list[str] = []
     words_out: list[dict] = []
     artefacts_out: list[dict] = []
@@ -106,9 +117,9 @@ def extract_pages_ocr(
     min_conf = 1.0
     for page_idx, img in enumerate(pages):
         if detect_orientation:
-            from ..operators.orientation import estimate_page_orientation, rotate_page
+            from ..operators.orientation import rotate_page
 
-            img = rotate_page(img, estimate_page_orientation(img, scale))
+            img = rotate_page(img, orienter(img, scale))
         boxes = detector(img, scale)
         for hook in detection_hooks or ():
             boxes = hook(boxes)

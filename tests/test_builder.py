@@ -191,3 +191,52 @@ def test_detection_hook_applied():
     drop_low_x = lambda b: b[b[:, 0] > 0.1]  # noqa: E731
     hooked, _, n_hooked, _, _, _, _ = extract_turn_ocr(bundle, detection_hooks=[drop_low_x])
     assert n_hooked == 1 and hooked == "BBB"
+
+
+def test_line_rbboxes_rotated_geometry():
+    """Rotated lines keep rotated enclosing geometry: for a 10-degree
+    skewed two-word line, the min-area rbbox is much tighter than the
+    axis-aligned enclosure (the reference's rotated _build_blocks path)."""
+    from doctr_spark.operators.builder import line_rbboxes
+    from doctr_spark.operators.geometry import rotate_boxes
+
+    line = np.array([[0.10, 0.40, 0.30, 0.46], [0.32, 0.40, 0.52, 0.46]])
+    quads = np.stack(
+        [line[:, [0, 1]], line[:, [2, 1]], line[:, [2, 3]], line[:, [0, 3]]], axis=1
+    )
+    skewed = rotate_boxes(quads, 10.0, min_angle=0.0)
+    out = line_rbboxes(skewed)
+    assert len(out) == 1 and sorted(out[0][0]) == [0, 1]
+    rb = out[0][1]
+
+    def quad_area(q):
+        return 0.5 * abs(
+            sum(q[i][0] * q[(i + 1) % 4][1] - q[(i + 1) % 4][0] * q[i][1] for i in range(4))
+        )
+
+    aligned = np.concatenate([skewed.reshape(-1, 2).min(0), skewed.reshape(-1, 2).max(0)])
+    aligned_area = (aligned[2] - aligned[0]) * (aligned[3] - aligned[1])
+    true_area = 0.42 * 0.06  # the un-skewed line extent
+    assert quad_area(rb) <= aligned_area * 0.85  # rotated enclosure is tighter
+    assert quad_area(rb) >= true_area * 0.95  # and still covers the line
+
+
+def test_pluggable_orientation_model():
+    """A custom orienter injects through the seam and the default path is
+    unchanged (rotated page still extracts exactly)."""
+    import numpy as np
+
+    from doctr_spark.plans.pipeline import extract_pages_ocr
+    from doctr_spark.sources.font import expected_page_lines, render_page
+
+    words = ["ROTATED", "SEAM", "42"]
+    img, _ = render_page(words, scale=3)
+    rot = np.ascontiguousarray(np.rot90(img, 3))  # stored rotated by 270 ccw
+    calls = []
+
+    def fixed_orienter(page, scale):
+        calls.append(page.shape)
+        return 1  # one ccw quarter turn rights a 270-ccw-stored page
+
+    text, *_ = extract_pages_ocr([rot], 3, detect_orientation=True, orienter=fixed_orienter)
+    assert calls and text == "\n".join(expected_page_lines(words, scale=3))
