@@ -631,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_quality": EQ.q_ocr_quality,
         "detection_metric": EQ.q_detection_metric,
         "pii_scrub": EQ.q_pii_scrub,
+        "repetition": EQ.q_repetition,
+        "stratified_sample": EQ.q_stratified_sample,
         "url_stats": EQ.q_url_stats,
         # --- multimodal
         "bundle_metadata": _q_bundle_metadata,
@@ -696,6 +698,8 @@ def oracle_sql() -> dict[str, str]:
         "ocr_quality": _OCR_QUALITY_ORACLE,
         "detection_metric": EQ.DETECTION_METRIC_ORACLE,
         "pii_scrub": EQ.PII_ORACLE,
+        "repetition": EQ.REPETITION_ORACLE,
+        "stratified_sample": EQ.STRATIFIED_ORACLE,
         "url_stats": EQ.URL_STATS_ORACLE,
         # every registered query now has an oracle row: VALUES fixtures are
         # pinned by independent computations (exhaustive brute force /

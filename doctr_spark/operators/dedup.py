@@ -379,3 +379,55 @@ def pack_sequences(
             yield pd.DataFrame(out_rows)
 
     return src.mapInPandas(run, "id long, n_tokens long, pack_id long, pack_slot long")
+
+
+# ------------------------------------------------- repetition filters
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition metrics (the Gopher/RefinedWeb-style
+    quality-filter family): duplicate-word fraction and most-frequent
+    word-bigram coverage. Fully relational (explode + window + groupBy), so
+    the DuckDB oracle re-derives every value — and at 100 TB the whole op
+    is two word-keyed aggregations, no Python.
+
+    Returns (id, n_words, n_distinct_words, dup_word_frac, top_bigram,
+    top_bigram_count, top_bigram_frac); ties on the top bigram break
+    lexicographically."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias("pos", "w"),
+    )
+    word_stats = words.groupBy("id").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("w").alias("n_distinct_words"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = (
+        words.select("id", "pos", "w", F.lead("w").over(w).alias("nx"))
+        .filter(F.col("nx").isNotNull())
+        .select("id", F.concat_ws(" ", "w", "nx").alias("bg"))
+    )
+    bg_counts = bigrams.groupBy("id", "bg").agg(F.count("*").alias("cnt"))
+    top_w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("bg"))
+    top = (
+        bg_counts.withColumn("_rn", F.row_number().over(top_w))
+        .filter(F.col("_rn") == 1)
+        .select("id", F.col("bg").alias("top_bigram"), F.col("cnt").alias("top_bigram_count"))
+    )
+    n_bg = bigrams.groupBy("id").agg(F.count("*").alias("n_bigrams"))
+    return (
+        word_stats.join(top, "id", "left")
+        .join(n_bg, "id", "left")
+        .select(
+            "id",
+            "n_words",
+            "n_distinct_words",
+            F.round(1.0 - F.col("n_distinct_words") / F.col("n_words"), 6).alias("dup_word_frac"),
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_count", F.lit(0)).cast("long").alias("top_bigram_count"),
+            F.round(
+                F.coalesce(F.col("top_bigram_count") / F.col("n_bigrams"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -43,3 +43,40 @@ def sample_predicate_sql(id_expr: str, rate: float) -> str:
         sample_threshold_hex(rate)
         return "TRUE"
     return f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4) < '{sample_threshold_hex(rate)}'"
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps ~its own
+    rate of rows (domain/language mixing — re-weighting a corpus toward a
+    target source distribution). Pure function of (id, stratum): pushes to
+    the scan as a filter, repeatable on any engine/partitioning.
+
+    Salting note: the md5 is keyed on the id alone, so a row keeps/drops
+    CONSISTENTLY across strata definitions — resampling with new rates
+    reuses the same underlying uniform draw (coordinated sampling).
+    """
+    pred = F.lit(False)
+    for stratum, rate in sorted(rates.items()):
+        pred = pred | ((F.col(strata_col) == stratum) & sample_predicate(F.col(id_col), rate))
+    if default_rate > 0:
+        others = ~F.col(strata_col).isin(list(rates))
+        pred = pred | (others & sample_predicate(F.col(id_col), default_rate))
+    return df.filter(pred)
+
+
+def stratified_sample_sql(id_expr: str, strata_expr: str, rates: dict[str, float], default_rate: float = 0.0) -> str:
+    """DuckDB twin of :func:`stratified_sample`'s predicate."""
+    parts = [
+        f"({strata_expr} = '{s}' AND {sample_predicate_sql(id_expr, r)})"
+        for s, r in sorted(rates.items())
+    ]
+    if default_rate > 0:
+        quoted = ", ".join(f"'{s}'" for s in rates)
+        parts.append(f"({strata_expr} NOT IN ({quoted}) AND {sample_predicate_sql(id_expr, default_rate)})")
+    return " OR ".join(parts) if parts else "FALSE"

@@ -1610,3 +1610,76 @@ FROM src
 
 
 URL_STATS_ORACLE = _url_oracle()
+
+
+# ---- repetition filters + stratified sampling (training-data curation)
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics over documents (doc_id < 150)."""
+    from ..operators.dedup import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return repetition_stats(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+REPETITION_ORACLE = """
+WITH docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < 150
+),
+words AS (
+  SELECT id, unnest(str_split(norm, ' ')) AS w,
+         generate_subscripts(str_split(norm, ' '), 1) AS pos
+  FROM docs
+),
+word_stats AS (
+  SELECT id, count(*) AS n_words, count(DISTINCT w) AS n_distinct_words
+  FROM words GROUP BY id
+),
+bigrams AS (
+  SELECT id, w || ' ' || lead(w) OVER (PARTITION BY id ORDER BY pos) AS bg
+  FROM words
+  QUALIFY lead(w) OVER (PARTITION BY id ORDER BY pos) IS NOT NULL
+),
+bg_counts AS (SELECT id, bg, count(*) AS cnt FROM bigrams GROUP BY id, bg),
+top AS (
+  SELECT id, bg AS top_bigram, cnt AS top_bigram_count
+  FROM bg_counts
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cnt DESC, bg) = 1
+),
+n_bg AS (SELECT id, count(*) AS n_bigrams FROM bigrams GROUP BY id)
+SELECT ws.id AS doc_id,
+       CAST(ws.n_words AS BIGINT) AS n_words,
+       CAST(ws.n_distinct_words AS BIGINT) AS n_distinct_words,
+       round(1.0 - ws.n_distinct_words * 1.0 / ws.n_words, 6) AS dup_word_frac,
+       coalesce(t.top_bigram, '') AS top_bigram,
+       CAST(coalesce(t.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       round(coalesce(t.top_bigram_count * 1.0 / n.n_bigrams, 0.0), 6) AS top_bigram_frac
+FROM word_stats ws
+LEFT JOIN top t ON t.id = ws.id
+LEFT JOIN n_bg n ON n.id = ws.id
+"""
+
+STRATA_RATES = {"en": 0.1, "fr": 0.5, "zh": 0.9}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (domain re-weighting): en kept
+    at 10%, fr 50%, zh 90%, others 25%."""
+    from ..operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang", STRATA_RATES, default_rate=0.25).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _stratified_oracle() -> str:
+    from ..operators.sampling import stratified_sample_sql
+
+    pred = stratified_sample_sql("doc_id", "lang", STRATA_RATES, default_rate=0.25)
+    return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
+
+
+STRATIFIED_ORACLE = _stratified_oracle()

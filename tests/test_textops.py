@@ -315,3 +315,41 @@ def test_scrub_pii_and_url_stats(spark):
     assert (out[1]["e"], out[1]["n"], out[1]["i"], out[1]["p"]) == (1, 1, 1, 1)
     assert out[2]["s"].startswith("no identifiers")
     assert out[2]["u"] == 2 and out[2]["d"] == "example.org"  # distinct domains
+
+
+def test_repetition_stats(spark):
+    from doctr_spark.operators.dedup import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam eggs"),
+            (2, "all words here are totally unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_words"] == 5 and out[1]["n_distinct_words"] == 2
+    assert out[1]["dup_word_frac"] == 0.6
+    assert out[1]["top_bigram"] == "spam spam" and out[1]["top_bigram_count"] == 3
+    assert out[1]["top_bigram_frac"] == 0.75  # 3 of 4 bigrams
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["top_bigram_count"] == 1
+
+
+def test_stratified_sample(spark):
+    from doctr_spark.operators.sampling import deterministic_sample, stratified_sample
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    out = stratified_sample(docs, "doc_id", "lang", {"en": 0.1, "fr": 0.9})
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 60 <= by_lang["en"] <= 140   # ~10% of 1000
+    assert 840 <= by_lang["fr"] <= 960  # ~90% of 1000
+    # coordinated: the en sample is exactly the 10%-rate subset of en rows
+    solo = deterministic_sample(docs.filter(F.col("lang") == "en"), "doc_id", 0.1)
+    assert {r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()} == {
+        r["doc_id"] for r in solo.collect()
+    }
+    # default_rate=0 drops unlisted strata entirely
+    assert stratified_sample(docs, "doc_id", "lang", {"en": 0.1}).filter(F.col("lang") == "fr").count() == 0
