@@ -143,3 +143,74 @@ def test_polygon_iou_values():
     boxes_a = np.asarray([[0, 0, 2, 2]], dtype=np.float64)
     boxes_b = np.asarray([[1, 0, 3, 2], [0, 0, 2, 2], [5, 5, 6, 6]], dtype=np.float64)
     np.testing.assert_allclose(straight, box_iou_matrix(boxes_a, boxes_b), atol=1e-12)
+
+
+def test_fast_reparameterize_output_equivalence():
+    """The fused single conv reproduces the 4-branch FAST layer's output
+    exactly (pre-activation): relu(bn(conv3x3) + bn(conv3x1) + bn(conv1x3)
+    + bn_id(x)) == relu(conv_fused(x) + bias) — the reference
+    reparameterize contract (models/modules/layers/pytorch.py:141-230),
+    verified numerically."""
+    import numpy as np
+
+    from doctr_spark.operators.reparam import (
+        batchnorm,
+        conv2d_same,
+        reparameterize_fast_layer,
+    )
+
+    rng = np.random.default_rng(5)
+    C = 4  # in == out so the identity branch is active
+
+    def rand_bn():
+        return {
+            "gamma": rng.standard_normal(C),
+            "beta": rng.standard_normal(C),
+            "mean": rng.standard_normal(C),
+            "var": rng.uniform(0.5, 2.0, C),
+            "eps": 1e-5,
+        }
+
+    k_main = rng.standard_normal((C, C, 3, 3))
+    k_ver = rng.standard_normal((C, C, 3, 1))
+    k_hor = rng.standard_normal((C, C, 1, 3))
+    bn_main, bn_ver, bn_hor, bn_id = rand_bn(), rand_bn(), rand_bn(), rand_bn()
+
+    x = rng.standard_normal((2, C, 7, 9))
+    unfused = (
+        batchnorm(conv2d_same(x, k_main), bn_main)
+        + batchnorm(conv2d_same(x, k_ver), bn_ver)
+        + batchnorm(conv2d_same(x, k_hor), bn_hor)
+        + batchnorm(x, bn_id)
+    )
+    kernel, bias = reparameterize_fast_layer(
+        k_main, bn_main, k_ver, bn_ver, k_hor, bn_hor, id_bn=bn_id
+    )
+    fused = conv2d_same(x, kernel, bias)
+    assert np.allclose(np.maximum(unfused, 0), np.maximum(fused, 0), atol=1e-9)
+
+
+def test_fast_reparameterize_partial_branches():
+    import numpy as np
+
+    from doctr_spark.operators.reparam import (
+        batchnorm,
+        conv2d_same,
+        fuse_conv_bn,
+        reparameterize_fast_layer,
+    )
+
+    rng = np.random.default_rng(6)
+    bn = {
+        "gamma": rng.standard_normal(3),
+        "beta": rng.standard_normal(3),
+        "mean": rng.standard_normal(3),
+        "var": rng.uniform(0.5, 2.0, 3),
+        "eps": 1e-5,
+    }
+    k = rng.standard_normal((3, 2, 3, 3))  # out != in: no identity branch
+    x = rng.standard_normal((1, 2, 5, 5))
+    kernel, bias = reparameterize_fast_layer(k, bn)
+    assert np.allclose(batchnorm(conv2d_same(x, k), bn), conv2d_same(x, kernel, bias), atol=1e-9)
+    kf, bf = fuse_conv_bn(k, bn)
+    assert np.allclose(kernel, kf) and np.allclose(bias, bf)
