@@ -630,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_padding": EQ.q_remove_padding,
         "ocr_quality": EQ.q_ocr_quality,
         "detection_metric": EQ.q_detection_metric,
+        "ocr_metric": EQ.q_ocr_metric,
         "pii_scrub": EQ.q_pii_scrub,
         "repetition": EQ.q_repetition,
         "stratified_sample": EQ.q_stratified_sample,
@@ -697,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "bundle_metadata": _BUNDLE_METADATA_ORACLE,
         "ocr_quality": _OCR_QUALITY_ORACLE,
         "detection_metric": EQ.DETECTION_METRIC_ORACLE,
+        "ocr_metric": EQ.OCR_METRIC_ORACLE,
         "pii_scrub": EQ.PII_ORACLE,
         "repetition": EQ.REPETITION_ORACLE,
         "stratified_sample": EQ.STRATIFIED_ORACLE,

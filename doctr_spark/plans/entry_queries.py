@@ -1683,3 +1683,65 @@ def _stratified_oracle() -> str:
 
 
 STRATIFIED_ORACLE = _stratified_oracle()
+
+
+# ---- LocalizationConfusion + OCRMetric driver queries (hand-computed
+#      assignment fixtures; reference utils/metrics.py:219-439)
+LOC_METRIC_FIXTURES = [
+    # (page_id, gt [(box, text)], pred [(box, text)],
+    #  expected (n_loc_matches, iou_sum6, n_text_matches))
+    (1, [([0.0, 0.0, 0.2, 0.2], "A"), ([0.5, 0.5, 0.7, 0.7], "B")],
+        [([0.0, 0.0, 0.2, 0.2], "A"), ([0.5, 0.5, 0.7, 0.7], "X")],
+        (2, 2.0, 1)),
+    # sub-threshold overlap: assigned but not a loc match; iou_sum counts it
+    (2, [([0.0, 0.0, 1.0, 1.0], "Z")], [([0.5, 0.5, 1.0, 1.0], "Z")], (0, 0.25, 0)),
+    # crossed order: assignment pairs correctly, both texts match
+    (3, [([0.0, 0.0, 0.3, 0.3], "L"), ([0.6, 0.6, 0.9, 0.9], "R")],
+        [([0.6, 0.6, 0.9, 0.9], "R"), ([0.0, 0.0, 0.3, 0.3], "L")],
+        (2, 2.0, 2)),
+    # extra spurious prediction: unmatched, contributes nothing
+    (4, [([0.1, 0.1, 0.3, 0.3], "Q")],
+        [([0.1, 0.1, 0.3, 0.3], "Q"), ([0.7, 0.7, 0.9, 0.9], "JUNK")],
+        (1, 1.0, 1)),
+]
+
+
+def q_ocr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page LocalizationConfusion + OCRMetric accumulators (Hungarian
+    IoU assignment; loc matches at IoU>=0.5; end-to-end = loc + exact
+    text), over hand-computed fixtures."""
+    from ..functions.metrics import localization_confusion, ocr_matches
+
+    src = spark.createDataFrame(
+        [(pid, json.dumps(gt), json.dumps(pred)) for pid, gt, pred, _ in LOC_METRIC_FIXTURES],
+        "page_id long, gt string, pred string",
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for pid, gt_s, pred_s in zip(pdf["page_id"], pdf["gt"], pdf["pred"]):
+                gt = json.loads(gt_s)
+                pred = json.loads(pred_s)
+                gt_boxes = np.asarray([b for b, _ in gt], dtype=np.float64).reshape(-1, 4)
+                pred_boxes = np.asarray([b for b, _ in pred], dtype=np.float64).reshape(-1, 4)
+                n_loc, iou_sum = localization_confusion(gt_boxes, pred_boxes)
+                _, n_text = ocr_matches(
+                    gt_boxes, [t for _, t in gt], pred_boxes, [t for _, t in pred]
+                )
+                rows.append(
+                    {"page_id": pid, "n_loc_matches": n_loc,
+                     "iou_sum": round(float(iou_sum), 6), "n_text_matches": n_text}
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run, "page_id long, n_loc_matches long, iou_sum double, n_text_matches long"
+    )
+
+
+OCR_METRIC_ORACLE = values_oracle(
+    [(pid, e[0], e[1], e[2]) for pid, _, _, e in LOC_METRIC_FIXTURES],
+    [("page_id", "BIGINT"), ("n_loc_matches", "BIGINT"), ("iou_sum", "DOUBLE"),
+     ("n_text_matches", "BIGINT")],
+)
