@@ -195,8 +195,13 @@ def _lut() -> dict[bytes, str]:
 
 
 def read_word_crop(crop: np.ndarray, scale: int, unknown: str = "■") -> str:
-    """Decode one word crop: trim white margins, segment glyphs at blank
-    column runs wider than one cell (``scale`` px), match trimmed patterns.
+    """Decode one word crop: trim white margins, downsample the whole word
+    to CELL space once (the trim anchors the cell grid — every rendered
+    ink pixel sits on it), then segment at blank cell runs >= 2 (glyph
+    gaps are exactly CHAR_GAP_CELLS = 2; intra-glyph blanks are <= 1) and
+    match each vertically-trimmed glyph pattern. One scale^2-smaller
+    working set than per-glyph pixel-space matching; misaligned crops
+    (non-grid content) fall back to the pixel-space path.
 
     The crop is sliced from the *original* page, so margins added by the
     detector's unclip expansion are plain white and trim away.
@@ -208,10 +213,35 @@ def read_word_crop(crop: np.ndarray, scale: int, unknown: str = "■") -> str:
     if ys.size == 0:
         return ""
     ink = ink[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+    h, w = ink.shape
+    if scale > 1 and (h % scale or w % scale):
+        return _read_word_crop_px(ink, scale, unknown)
 
+    cells = np.ascontiguousarray(ink[::scale, ::scale]).astype(np.uint8)
+    idx = np.flatnonzero(cells.any(axis=0))
+    if idx.size == 0:
+        return ""
+    brk = np.flatnonzero(np.diff(idx) > 2)
+    starts = np.concatenate(([idx[0]], idx[brk + 1]))
+    ends = np.concatenate((idx[brk], [idx[-1]])) + 1
+
+    lut = _lut()
+    chars = []
+    for s0, s1 in zip(starts.tolist(), ends.tolist()):
+        glyph = cells[:, s0:s1]
+        rows = glyph.any(axis=1)
+        y0 = int(rows.argmax())
+        y1 = len(rows) - int(rows[::-1].argmax())
+        chars.append(lut.get(_pattern_key(glyph[y0:y1]), unknown))
+    return "".join(chars)
+
+
+def _read_word_crop_px(ink: np.ndarray, scale: int, unknown: str) -> str:
+    """Pixel-space fallback for crops whose trimmed extents are not cell
+    multiples (rotated fragments, artefact slivers): per-glyph trim +
+    downsample, emitting ``unknown`` for off-grid glyphs."""
     col_has_ink = ink.any(axis=0)
     spans = _column_spans(col_has_ink, scale)
-
     lut = _lut()
     chars = []
     for s0, s1 in spans:
