@@ -48,7 +48,8 @@ EXTRACT_SCHEMA = (
     "words array<struct<value:string, confidence:double, xmin:double, "
     "ymin:double, xmax:double, ymax:double, page_idx:int, line_idx:int, word_idx:int>>, "
     "artefacts array<struct<type:string, confidence:double, xmin:double, "
-    "ymin:double, xmax:double, ymax:double, page_idx:int>>"
+    "ymin:double, xmax:double, ymax:double, page_idx:int>>, "
+    "error string"
 )
 
 # a detected region whose raw-ink fill exceeds this is a non-text artefact
@@ -170,6 +171,7 @@ def _extract_batch(
     detect_orientation: bool = False,
     detector=None,
     recognizer=None,
+    error_policy: str = "capture",
 ) -> pd.DataFrame:
     out_rows = []
     for conv_id, turn_idx, role, text, tool, ts in zip(
@@ -178,81 +180,105 @@ def _extract_batch(
         payload = parse_tool_envelope(tool) if tool else None
         words: list[dict] = []
         artefacts: list[dict] = []
+        error = None
         n_pages, n_boxes, n_artefacts, min_conf, strip_ratio = 0, 0, 0, 1.0, 1.0
-        if payload is not None and payload[0] == "page_bundle":
-            kind = "ocr"
-            extracted, n_pages, n_boxes, n_artefacts, min_conf, words, artefacts = extract_turn_ocr(
-                payload[1], detect_orientation, detector=detector, recognizer=recognizer
-            )
-        elif payload is not None and payload[0] in ("pdf", "image"):
-            # real-world payloads: rasterize/decode (env-gated libs), fold
-            # to grayscale, then the same OCR chain
-            from ..sources.font import DEFAULT_SCALE
-            from ..sources.payloads import read_image, read_pdf_pages, to_grayscale
-
-            kind = "ocr"
-            raw_pages = (
-                read_pdf_pages(payload[1]) if payload[0] == "pdf" else [read_image(payload[1])]
-            )
-            extracted, n_pages, n_boxes, n_artefacts, min_conf, words, artefacts = extract_pages_ocr(
-                [to_grayscale(p) for p in raw_pages],
-                DEFAULT_SCALE,
-                detect_orientation,
-                detector=detector,
-                recognizer=recognizer,
-            )
-        elif text and looks_like_html(text):
-            kind = "html"
-            extracted = extract_main_text(text)
-            strip_ratio = (len(extracted) / len(text)) if len(text) else 1.0
+        try:
+            kind, extracted = _route_turn(payload, text, detect_orientation, detector, recognizer)
+        except Exception as exc:  # noqa: BLE001 — per-turn quarantine
+            # a corrupt payload must not kill a 10^12-turn job: quarantine
+            # the row (kind='error', empty text, bounded message) so the
+            # sidecar metrics surface the failure rate and a re-run can
+            # filter to the quarantined keys. error_policy='raise' keeps
+            # strict tests/debug semantics.
+            if error_policy != "capture":
+                raise
+            kind, extracted = "error", ""
+            error = f"{type(exc).__name__}: {exc}"[:500]
+            words, artefacts = [], []
+            n_pages = n_boxes = n_artefacts = 0
+            min_conf, strip_ratio = 0.0, 1.0
         else:
-            kind = "plain"
-            extracted = text or ""
+            if kind == "ocr":
+                extracted, n_pages, n_boxes, n_artefacts, min_conf, words, artefacts = extracted
+            elif kind == "html":
+                strip_ratio = (len(extracted) / len(text)) if len(text) else 1.0
         out_rows.append(
-            {
-                "conv_id": conv_id,
-                "turn_idx": turn_idx,
-                "role": role,
-                "ts": ts,
-                "payload_kind": kind,
-                "extracted_text": extracted,
-                "n_pages": n_pages,
-                "n_boxes": n_boxes,
-                "n_artefacts": n_artefacts,
-                "n_chars": len(extracted),
-                "strip_ratio": float(strip_ratio),
-                "min_conf": float(min_conf),
-                "words": [
-                    (
-                        w["value"],
-                        w["confidence"],
-                        w["xmin"],
-                        w["ymin"],
-                        w["xmax"],
-                        w["ymax"],
-                        w.get("page_idx", 0),
-                        w["line_idx"],
-                        w["word_idx"],
-                    )
-                    for w in words
-                ],
-                "artefacts": [
-                    (
-                        a["type"], a["confidence"], a["xmin"], a["ymin"],
-                        a["xmax"], a["ymax"], a["page_idx"],
-                    )
-                    for a in artefacts
-                ],
-            }
+            _turn_row(
+                conv_id, turn_idx, role, ts, kind, extracted, n_pages, n_boxes,
+                n_artefacts, strip_ratio, min_conf, words, artefacts, error,
+            )
         )
-    return pd.DataFrame(
-        out_rows,
-        columns=[
-            "conv_id", "turn_idx", "role", "ts", "payload_kind", "extracted_text",
-            "n_pages", "n_boxes", "n_artefacts", "n_chars", "strip_ratio", "min_conf",
-            "words", "artefacts",
+    return pd.DataFrame(out_rows, columns=_ROW_COLUMNS)
+
+
+def _route_turn(payload, text, detect_orientation, detector, recognizer):
+    """Dispatch one turn by payload kind; returns (kind, result) where the
+    'ocr' result is the extract tuple and html/plain results are text."""
+    if payload is not None and payload[0] == "page_bundle":
+        return "ocr", extract_turn_ocr(
+            payload[1], detect_orientation, detector=detector, recognizer=recognizer
+        )
+    if payload is not None and payload[0] in ("pdf", "image"):
+        # real-world payloads: rasterize/decode (env-gated libs), fold
+        # to grayscale, then the same OCR chain
+        from ..sources.font import DEFAULT_SCALE
+        from ..sources.payloads import read_image, read_pdf_pages, to_grayscale
+
+        raw_pages = (
+            read_pdf_pages(payload[1]) if payload[0] == "pdf" else [read_image(payload[1])]
+        )
+        return "ocr", extract_pages_ocr(
+            [to_grayscale(p) for p in raw_pages],
+            DEFAULT_SCALE,
+            detect_orientation,
+            detector=detector,
+            recognizer=recognizer,
+        )
+    if text and looks_like_html(text):
+        return "html", extract_main_text(text)
+    return "plain", text or ""
+
+
+_ROW_COLUMNS = [
+    "conv_id", "turn_idx", "role", "ts", "payload_kind", "extracted_text",
+    "n_pages", "n_boxes", "n_artefacts", "n_chars", "strip_ratio", "min_conf",
+    "words", "artefacts", "error",
+]
+
+
+def _turn_row(
+    conv_id, turn_idx, role, ts, kind, extracted, n_pages, n_boxes,
+    n_artefacts, strip_ratio, min_conf, words, artefacts, error,
+):
+    return {
+        "conv_id": conv_id,
+        "turn_idx": turn_idx,
+        "role": role,
+        "ts": ts,
+        "payload_kind": kind,
+        "extracted_text": extracted,
+        "n_pages": n_pages,
+        "n_boxes": n_boxes,
+        "n_artefacts": n_artefacts,
+        "n_chars": len(extracted),
+        "strip_ratio": float(strip_ratio),
+        "min_conf": float(min_conf),
+        "words": [
+            (
+                w["value"], w["confidence"], w["xmin"], w["ymin"], w["xmax"],
+                w["ymax"], w.get("page_idx", 0), w["line_idx"], w["word_idx"],
+            )
+            for w in words
         ],
-    )
+        "artefacts": [
+            (
+                a["type"], a["confidence"], a["xmin"], a["ymin"],
+                a["xmax"], a["ymax"], a["page_idx"],
+            )
+            for a in artefacts
+        ],
+        "error": error,
+    }
 
 
 def extract_turns(
@@ -261,6 +287,7 @@ def extract_turns(
     detect_orientation: bool = False,
     detector: ModelLoader | None = None,
     recognizer: ModelLoader | None = None,
+    error_policy: str = "capture",
 ) -> DataFrame:
     """Fused extraction over a transcript DataFrame.
 
@@ -274,6 +301,10 @@ def extract_turns(
     Python worker process — real NN weights load per executor core, not per
     task or batch (SURVEY.md §4.4 lifecycle) — and the resolved model
     serves every subsequent batch that worker handles.
+    ``error_policy``: 'capture' (default) quarantines per-turn decode/OCR
+    failures as payload_kind='error' rows with the message in the ``error``
+    column — one corrupt payload in 10^12 turns must not fail the job;
+    'raise' propagates (strict/debug).
     """
     src = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     if salt_partitions:
@@ -286,7 +317,10 @@ def extract_turns(
         rec = resolve_model(rec_key, rec_loader)
         for pdf in batches:
             if len(pdf):
-                yield _extract_batch(pdf, detect_orientation, detector=det, recognizer=rec)
+                yield _extract_batch(
+                    pdf, detect_orientation, detector=det, recognizer=rec,
+                    error_policy=error_policy,
+                )
 
     return src.mapInPandas(run, schema=EXTRACT_SCHEMA)
 

@@ -155,3 +155,40 @@ def test_extract_turns_degenerate_inputs(spark):
     )
     rows = {(r["turn_idx"], r["payload_kind"], r["extracted_text"]) for r in extract_turns(bad).collect()}
     assert rows == {(0, "plain", "t"), (1, "plain", "t")}
+
+
+def test_error_policy_quarantines_corrupt_payloads(spark):
+    """A corrupt page bundle becomes a payload_kind='error' row with the
+    message captured — the surrounding (valid) turns extract normally and
+    the job never fails. error_policy='raise' propagates instead."""
+    import base64
+    import json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.sources.corpus import make_transcripts
+
+    good = make_transcripts(spark, 2, partitions=1, ocr_ratio=1.0, html_ratio=0.0).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    bad_tool = json.dumps(
+        {"kind": "page_bundle", "b64": base64.b64encode(b"DSPGgarbage-not-a-bundle").decode()}
+    )
+    bad = spark.createDataFrame(
+        [("conv-bad", 0, "user", "[attachment]", bad_tool, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = extract_turns(good.unionByName(bad)).cache()
+    errs = out.filter(F.col("payload_kind") == "error").collect()
+    assert len(errs) == 1
+    assert errs[0]["conv_id"] == "conv-bad" and errs[0]["extracted_text"] == ""
+    assert errs[0]["error"] and "Error" in errs[0]["error"] or errs[0]["error"]
+    # every valid turn still extracted
+    assert out.filter(F.col("payload_kind") == "ocr").count() == good.count()
+    assert out.filter((F.col("payload_kind") != "error") & F.col("error").isNotNull()).count() == 0
+    out.unpersist()
+
+    with _pytest.raises(Exception):
+        extract_turns(bad, error_policy="raise").collect()
