@@ -608,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": EQ.q_quality_filter,
         "quality_score": EQ.q_quality_score,
         "lang_id": EQ.q_lang_id,
+        "lang_id_conf": EQ.q_lang_id_conf,
         "string_match": EQ.q_string_match,
         "fingerprint": EQ.q_fingerprint,
         # --- dedup
@@ -676,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": EQ.QUALITY_FILTER_ORACLE,
         "quality_score": EQ.QUALITY_ORACLE,
         "lang_id": EQ.LANG_ID_ORACLE,
+        "lang_id_conf": EQ.LANG_CONF_ORACLE,
         "string_match": EQ.STRING_MATCH_ORACLE,
         "fingerprint": EQ.FINGERPRINT_ORACLE,
         "exact_dedup": EQ.EXACT_DEDUP_ORACLE,

@@ -98,6 +98,41 @@ def lang_id(col: Column) -> Column:
     return F.when(best > 0, out).otherwise(F.lit("unknown"))
 
 
+def lang_id_conf(col: Column) -> tuple[Column, Column]:
+    """(language, confidence) — the reference get_language contract
+    (models/_utils.py:156-172): top language plus a confidence score,
+    'unknown'/0.0 for short or indecisive text. Confidence here =
+    best_score / total_score over the marker heuristic (the langdetect
+    probability analogue); short-text gate: len(text) <= 1, or <= 5 with
+    confidence <= 0.2, returns unknown — mirroring the reference's
+    thresholds."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    total = sum(scores.values(), F.lit(0.0))
+    conf = F.round(F.when(total > 0, best / total).otherwise(F.lit(0.0)), 6)
+    lang = lang_id(col)
+    short_gate = (F.length(col) <= 1) | ((F.length(col) <= 5) & (conf <= 0.2))
+    gated = short_gate | (lang == "unknown")
+    return (
+        F.when(gated, F.lit("unknown")).otherwise(lang),
+        F.when(gated, F.lit(0.0)).otherwise(conf),
+    )
+
+
+def lang_id_conf_sql(c: str) -> tuple[str, str]:
+    """DuckDB twins of :func:`lang_id_conf`."""
+    s = lang_scores_sql(c)
+    best = "greatest(" + ", ".join(f"({v})" for v in s.values()) + ")"
+    total = " + ".join(f"({v})" for v in s.values())
+    conf = f"round(CASE WHEN ({total}) > 0 THEN ({best}) * 1.0 / ({total}) ELSE 0.0 END, 6)"
+    lang = lang_id_sql(c)
+    gate = f"(length({c}) <= 1 OR (length({c}) <= 5 AND ({conf}) <= 0.2) OR ({lang}) = 'unknown')"
+    return (
+        f"CASE WHEN {gate} THEN 'unknown' ELSE ({lang}) END",
+        f"CASE WHEN {gate} THEN 0.0 ELSE ({conf}) END",
+    )
+
+
 def lang_id_sql(c: str) -> str:
     s = lang_scores_sql(c)
     best = "greatest(" + ", ".join(f"({v})" for v in s.values()) + ")"

@@ -1745,3 +1745,26 @@ OCR_METRIC_ORACLE = values_oracle(
     [("page_id", "BIGINT"), ("n_loc_matches", "BIGINT"), ("iou_sum", "DOUBLE"),
      ("n_text_matches", "BIGINT")],
 )
+
+
+def q_lang_id_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_language parity: (language, confidence) with the reference's
+    short-text/low-confidence unknown gate (models/_utils.py:156-172)."""
+    from ..functions.text import lang_id_conf
+
+    docs = _read(spark, sf_dir, "documents")
+    lang, conf = lang_id_conf(F.col("text"))
+    return docs.select("doc_id", lang.alias("lang_pred"), conf.alias("lang_conf"))
+
+
+def _lang_conf_oracle() -> str:
+    from ..functions.text import lang_id_conf_sql
+
+    lang, conf = lang_id_conf_sql("text")
+    return f"""
+SELECT doc_id, {lang} AS lang_pred, CAST({conf} AS DOUBLE) AS lang_conf
+FROM documents
+"""
+
+
+LANG_CONF_ORACLE = _lang_conf_oracle()

@@ -353,3 +353,21 @@ def test_stratified_sample(spark):
     }
     # default_rate=0 drops unlisted strata entirely
     assert stratified_sample(docs, "doc_id", "lang", {"en": 0.1}).filter(F.col("lang") == "fr").count() == 0
+
+
+def test_lang_id_conf_gates(spark):
+    from doctr_spark.functions.text import lang_id_conf
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),  # clear en
+            (2, "a"),                                  # len <= 1 -> unknown
+            (3, "x y z"),                              # no markers -> unknown
+        ],
+        "id long, text string",
+    )
+    lang, conf = lang_id_conf(F.col("text"))
+    out = {r["id"]: (r["l"], r["c"]) for r in df.select("id", lang.alias("l"), conf.alias("c")).collect()}
+    assert out[1][0] == "en" and out[1][1] == 1.0
+    assert out[2] == ("unknown", 0.0)
+    assert out[3] == ("unknown", 0.0)
