@@ -141,10 +141,14 @@ def scaling_run(corpus_dir: str, cores: int, repeat: int | None = None) -> float
         for _ in range(repeat - 1):
             big = big.unionByName(inp)
         _noop_write(extract_turns(inp))  # warm codegen + python workers
-        t0 = time.time()
-        _noop_write(extract_turns(big))
-        dt = time.time() - t0
-        return n * repeat / dt
+        # best-of-2 timed runs: the scaling efficiency is the north-rule
+        # criterion, and a single co-tenant burst in one leg would swing it
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _noop_write(extract_turns(big))
+            best = min(best, time.time() - t0)
+        return n * repeat / best
     finally:
         spark.stop()
 
