@@ -196,8 +196,17 @@ def main() -> None:
         # busy-loop scaling as the hardware ceiling (the box downclocks
         # under full load; a real 4N-executor cluster has no shared-socket
         # frequency/membw coupling between executors).
+        # Two INTERLEAVED measurement rounds, per-level best: this box is
+        # shared and a co-tenant burst can last minutes — long enough to
+        # poison one whole leg (observed: an 8-core leg at half throughput
+        # while the adjacent busy-loop ran at 0.98 efficiency, flipping the
+        # 2->8 criterion from 0.83 to 0.39). Interleaving means a burst
+        # must span BOTH visits to a level to corrupt its best.
         levels = sorted({max(2, CPUS // 16), max(2, CPUS // 4), CPUS})
-        tps = {c: scaling_run(corpus_dir, c) for c in levels}
+        tps = {c: 0.0 for c in levels}
+        for _ in range(2):
+            for c in levels:
+                tps[c] = max(tps[c], scaling_run(corpus_dir, c))
         ceiling = _busyloop_scaling(levels)
         pairs = []
         for lo, hi in zip(levels, levels[1:]):

@@ -1,15 +1,20 @@
-"""Deduplication operators for web-scale corpora.
+"""Deduplication + repetition operators for web-scale corpora.
 
 - exact dedup          : hash-groupBy on a normalized fingerprint (pure SQL)
 - n-gram Jaccard       : relational shingle join (pure SQL, oracle-checkable)
-- MinHash + LSH        : signature pandas-UDF -> band explode -> bucket join
-- SimHash              : 64-bit weighted token hash + bit_count(xor) distance
+- MinHash + LSH        : signature pandas-UDF -> band explode -> bucket join;
+                         minhash_verified_near_duplicates adds the exact
+                         char-shingle Jaccard verify stage on candidates
+- SimHash              : 64-bit weighted token hash; pigeonhole chunk
+                         blocking (recall 1.0 at the Hamming budget)
+- sequence packing     : partition-local greedy context-window packing
+- repetition stats     : Gopher-style dup-word / top-bigram quality filters
 
 Scale notes: the shingle join and LSH bucket join are the shuffle-heavy
-paths; both shuffle only (id, shingle/band) pairs — never document bodies.
-Candidate verification re-joins bodies by id. Band/bucket grouping keys are
-high-cardinality, so AQE skew handling plus the banding parameters keep
-partitions bounded. No driver-side collection anywhere.
+paths; both shuffle only (id, shingle/band/chunk) pairs — never document
+bodies. Candidate verification re-joins bodies by id. Band/bucket grouping
+keys are high-cardinality, so AQE skew handling plus the banding parameters
+keep partitions bounded. No driver-side collection anywhere.
 """
 
 from __future__ import annotations
