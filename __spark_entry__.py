@@ -118,7 +118,11 @@ def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches an independent SQL derivation."""
     from doctr_spark.operators.dedup import minhash_verified_near_duplicates
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 200)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .repartition(16, "doc_id")  # single-file input: spread the signature UDF
+    )
     return minhash_verified_near_duplicates(docs, "doc_id", "text", bands=32, threshold=0.5)
 
 
@@ -166,7 +170,9 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force pair set."""
     from doctr_spark.operators.dedup import simhash64, simhash_near_duplicates
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf tables are single parquet files (one input split); hashing is
+    # per-row, so spread it — at 100 TB input splits do this for free
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(32, "doc_id")
     nd = simhash_near_duplicates(simhash64(docs, "doc_id", "text"), max_hamming=3)
     return nd.agg(
         F.count("*").alias("n_pairs"),

@@ -103,21 +103,22 @@ def run_queries(spark) -> dict[str, float]:
         "pricing_summary",
         "revenue_by_nation",
     ]
-    out = {}
+    # warmup amortizes one-time Catalyst/codegen JIT (mirrors the
+    # reference's warmup-then-measure latency protocol, BASELINE.md); the
+    # metric is the per-query best of two timed runs taken in INTERLEAVED
+    # full passes over the suite — this box is shared and co-tenant bursts
+    # last minutes, so back-to-back repeats of one query can both land
+    # inside a burst (observed 10-50x transients); separated passes mean a
+    # burst must span both to corrupt a number
+    out = {name: float("inf") for name in headline}
     for name in headline:
-        # warmup run amortizes one-time Catalyst/codegen JIT (mirrors the
-        # reference's warmup-then-measure latency protocol, BASELINE.md);
-        # the metric is the best of two timed runs — this box is shared, so
-        # a single timed run can absorb a co-tenant burst or GC pause that
-        # says nothing about the plan (observed 10-50x transients)
         _noop_write(qs[name](spark, SF_DIR))
-        best = float("inf")
-        for _ in range(2):
+    for _ in range(2):
+        for name in headline:
             t0 = time.time()
             _noop_write(qs[name](spark, SF_DIR))
-            best = min(best, time.time() - t0)
-        out[name] = round(best, 3)
-    return out
+            out[name] = min(out[name], time.time() - t0)
+    return {name: round(v, 3) for name, v in out.items()}
 
 
 def scaling_run(corpus_dir: str, cores: int, repeat: int | None = None) -> float:
