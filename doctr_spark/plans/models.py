@@ -117,3 +117,95 @@ def _load_glyph_orientation() -> Callable:
 DEFAULT_DETECTOR: ModelLoader = ("ink-fuse-default", _load_ink_detector)
 DEFAULT_RECOGNIZER: ModelLoader = ("glyph-ctc-default", _load_glyph_recognizer)
 DEFAULT_ORIENTATION: ModelLoader = ("glyph-orient-default", _load_glyph_orientation)
+
+
+# ------------------------------------------------- real-NN loader factories
+
+
+def onnx_detector(
+    model_path: str,
+    input_name: str = "input",
+    postproc: dict | None = None,
+    target_hw: tuple[int, int] | None = None,
+) -> ModelLoader:
+    """Loader for a real DBNet-style ONNX detection head: the session
+    loads once per worker (via resolve_model), each call preprocesses the
+    page (optional resize + [0,1] normalize, NCHW), runs the forward pass
+    for the (H, W) proba map, and reuses this module's DB postprocessor
+    (binarize -> 3x3 open -> components -> score -> unclip -> relative
+    boxes) — the exact composition the reference's DetectionPredictor runs
+    (preprocess + model + DetectionPostProcessor). Env-gated: raises
+    NotImplementedError where onnxruntime is absent; the wiring is
+    stub-tested so a real .onnx drops in unchanged.
+    """
+    from ..operators.detection import DB_POSTPROC, postprocess_proba_map
+    from ..operators.preprocess import remove_padding, resize_page
+
+    pp = dict(DB_POSTPROC if postproc is None else postproc)
+    key = f"onnx-det:{model_path}"
+
+    def load():
+        try:
+            import onnxruntime as ort
+        except ImportError as exc:
+            raise NotImplementedError(
+                "onnx_detector requires onnxruntime, which is not installed"
+            ) from exc
+        sess = ort.InferenceSession(model_path)
+
+        def detect(page: np.ndarray, scale: int) -> np.ndarray:
+            img, tf = (
+                resize_page(page, target_hw, preserve_aspect_ratio=True, symmetric_pad=True)
+                if target_hw is not None
+                else (page, (0.0, 0.0, 1.0, 1.0))
+            )
+            x = (img.astype(np.float32) / 255.0)[None, None, :, :]  # NCHW gray
+            proba = np.asarray(sess.run(None, {input_name: x})[0]).reshape(img.shape)
+            boxes = postprocess_proba_map(proba, **pp)
+            if target_hw is not None and len(boxes):
+                boxes = np.concatenate(
+                    [remove_padding(boxes[:, :4], tf), boxes[:, 4:5]], axis=1
+                )
+            return boxes
+
+        return detect
+
+    return key, load
+
+
+def onnx_recognizer(model_path: str, vocab: str | None = None, input_name: str = "input") -> ModelLoader:
+    """Loader for a CRNN-style ONNX recognition head: session loads once
+    per worker; each call stacks the crop batch (resized to the model's
+    fixed height is the caller's preprocessing contract), runs one forward
+    for (N, T, vocab+1) logits, and decodes with this module's CTC
+    best-path (argmax, run-collapse, blank=len(vocab), conf = min
+    max-softmax) — the reference RecognitionPredictor composition."""
+    from ..functions.vocabs import FONT
+    from ..operators.recognition import ctc_best_path
+
+    voc = FONT if vocab is None else vocab
+    key = f"onnx-reco:{model_path}"
+
+    def load():
+        try:
+            import onnxruntime as ort
+        except ImportError as exc:
+            raise NotImplementedError(
+                "onnx_recognizer requires onnxruntime, which is not installed"
+            ) from exc
+        sess = ort.InferenceSession(model_path)
+
+        def recognize(crops: list[np.ndarray], scale: int) -> list[tuple[str, float]]:
+            if not crops:
+                return []
+            h = max(c.shape[0] for c in crops)
+            w = max(c.shape[1] for c in crops)
+            batch = np.full((len(crops), 1, h, w), 1.0, dtype=np.float32)
+            for i, c in enumerate(crops):
+                batch[i, 0, : c.shape[0], : c.shape[1]] = c.astype(np.float32) / 255.0
+            logits = np.asarray(sess.run(None, {input_name: batch})[0])  # (N, T, V+1)
+            return ctc_best_path(logits, voc)  # batch decode in one pass
+
+        return recognize
+
+    return key, load

@@ -242,3 +242,104 @@ def test_pdf_envelope_routes_through_ocr_chain(monkeypatch):
     assert out.loc[0, "payload_kind"] == "ocr"
     assert out.loc[0, "extracted_text"] == "\n".join(expected_page_lines(words, scale=DEFAULT_SCALE))
     assert out.loc[0, "n_pages"] == 1 and out.loc[0, "n_boxes"] == len(words)
+
+
+def _fake_onnxruntime(run_fn, created):
+    mod = types.ModuleType("onnxruntime")
+
+    class InferenceSession:
+        def __init__(self, path):
+            created.append((os.getpid(), path))
+
+        def run(self, outputs, feeds):
+            return run_fn(feeds)
+
+    mod.InferenceSession = InferenceSession
+    return mod
+
+
+def test_onnx_detector_wiring_via_stub(monkeypatch):
+    """A 'real' ONNX detection head (stubbed runtime whose forward returns
+    the deterministic proba map) drops into the seam and the full OCR chain
+    still reproduces the page text exactly — composition of session
+    preprocess + forward + the DB postprocessor is proven end-to-end."""
+    from doctr_spark.operators.detection import INK_MODEL_POSTPROC, ink_proba_map
+    from doctr_spark.plans.models import clear_model_cache, onnx_detector
+    from doctr_spark.plans.pipeline import extract_pages_ocr
+    from doctr_spark.sources.font import expected_page_lines, render_page
+
+    created = []
+
+    def run(feeds):
+        x = feeds["input"]  # (1,1,H,W) float in [0,1]
+        page = (x[0, 0] * 255.0).astype(np.uint8)
+        return [ink_proba_map(page, 3)]
+
+    monkeypatch.setitem(sys.modules, "onnxruntime", _fake_onnxruntime(run, created))
+    clear_model_cache()
+    words = ["ONNX", "SEAM", "WORKS", "42"]
+    img, _ = render_page(words, scale=3)
+    # the stub forward emits the ink-model proba map, so use its postproc
+    # family (a real DBNet head would keep DB_POSTPROC)
+    key, loader = onnx_detector("/weights/fake-dbnet.onnx", postproc=INK_MODEL_POSTPROC)
+    det = loader()
+    text, n_pages, n_boxes, *_ = extract_pages_ocr([img], 3, detector=det)
+    assert text == "\n".join(expected_page_lines(words, scale=3))
+    assert n_boxes == len(words)
+    assert created == [(os.getpid(), "/weights/fake-dbnet.onnx")]
+    clear_model_cache()
+
+
+def test_onnx_recognizer_wiring_via_stub(monkeypatch):
+    """The ONNX recognizer loader stacks a crop batch into one forward and
+    CTC-decodes the (N, T, V+1) logits — stubbed with logits derived from
+    the known crop contents."""
+    from doctr_spark.functions.vocabs import FONT, encode_string
+    from doctr_spark.operators.recognition import indices_to_logits
+    from doctr_spark.plans.models import clear_model_cache, onnx_recognizer
+    from doctr_spark.sources.font import read_word_crop, render_page
+    from doctr_spark.operators.geometry import extract_crops
+    from doctr_spark.operators.detection import ink_word_boxes
+
+    words = ["ALPHA", "BRAVO"]
+    img, _ = render_page(words, scale=3)
+    boxes = ink_word_boxes(img, 3)
+    crops = extract_crops(img, boxes[:, :4])
+
+    created = []
+
+    def run(feeds):
+        x = feeds["input"]  # (N,1,h,w)
+        logits = []
+        for i in range(x.shape[0]):
+            crop = (x[i, 0] * 255.0).astype(np.uint8)
+            raw = read_word_crop(crop, 3)
+            logits.append(indices_to_logits(encode_string(raw, FONT)))
+        t = max(l.shape[0] for l in logits)
+        v = logits[0].shape[1]
+        out = np.full((len(logits), t, v), -1e9, dtype=np.float64)
+        for i, l in enumerate(logits):
+            out[i, : l.shape[0]] = l
+            out[i, l.shape[0] :, v - 1] = 1e9  # pad with confident blanks
+        return [out]
+
+    monkeypatch.setitem(sys.modules, "onnxruntime", _fake_onnxruntime(run, created))
+    clear_model_cache()
+    key, loader = onnx_recognizer("/weights/fake-crnn.onnx")
+    rec = loader()
+    preds = rec(list(crops), 3)
+    assert [p[0] for p in preds] == sorted(words, key=lambda w: words.index(w))
+    assert len(created) == 1
+    clear_model_cache()
+
+
+def test_onnx_loaders_env_gated():
+    import importlib.util
+
+    from doctr_spark.plans.models import clear_model_cache, onnx_detector
+
+    if importlib.util.find_spec("onnxruntime") is None:
+        clear_model_cache()
+        _, loader = onnx_detector("/weights/x.onnx")
+        with pytest.raises(NotImplementedError):
+            loader()
