@@ -640,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_metric": EQ.q_ocr_metric,
         "pii_scrub": EQ.q_pii_scrub,
         "repetition": EQ.q_repetition,
+        "lm_perplexity": EQ.q_lm_perplexity,
         "stratified_sample": EQ.q_stratified_sample,
         "url_stats": EQ.q_url_stats,
         # --- multimodal
@@ -709,6 +710,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_metric": EQ.OCR_METRIC_ORACLE,
         "pii_scrub": EQ.PII_ORACLE,
         "repetition": EQ.REPETITION_ORACLE,
+        "lm_perplexity": EQ.LM_PERPLEXITY_ORACLE,
         "stratified_sample": EQ.STRATIFIED_ORACLE,
         "url_stats": EQ.URL_STATS_ORACLE,
         # every registered query now has an oracle row: VALUES fixtures are

@@ -1768,3 +1768,23 @@ FROM documents
 
 
 LANG_CONF_ORACLE = _lang_conf_oracle()
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scores: bigram LM trained on doc_id < 400,
+    every document scored by smoothed log-likelihood (perplexity-filter
+    primitive)."""
+    from ..operators.lm import lm_bigram_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 400)
+    return lm_bigram_scores(train, docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+def _lm_oracle() -> str:
+    from ..operators.lm import lm_bigram_scores_sql
+
+    return lm_bigram_scores_sql("doc_id < 400")
+
+
+LM_PERPLEXITY_ORACLE = _lm_oracle()

@@ -371,3 +371,28 @@ def test_lang_id_conf_gates(spark):
     assert out[1][0] == "en" and out[1][1] == 1.0
     assert out[2] == ("unknown", 0.0)
     assert out[3] == ("unknown", 0.0)
+
+
+def test_lm_bigram_scores(spark):
+    from doctr_spark.operators.lm import lm_bigram_scores
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog ran")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zz qq")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in lm_bigram_scores(train, score, "doc_id", "text").collect()}
+    # V = 6 distinct train words {the,cat,sat,ran,a,dog}. in-domain doc:
+    # p(the->cat)=(2+1)/(2+6), p(cat->sat)=(1+1)/(2+6)
+    import math
+
+    exp = round(round(math.log(3 / 8), 6) + round(math.log(2 / 8), 6), 6)
+    assert out[10]["n_bigrams"] == 2 and out[10]["n_unseen"] == 0
+    assert abs(out[10]["total_logp"] - exp) < 1e-9
+    # fully out-of-domain doc: every bigram unseen, logp = ln(1/7) each
+    assert out[11]["n_unseen"] == 1 and out[11]["n_bigrams"] == 1
+    assert abs(out[11]["total_logp"] - round(math.log(1 / 6), 6)) < 1e-9
+    # in-domain scores strictly higher than out-of-domain per-bigram
+    assert out[10]["total_logp"] / out[10]["n_bigrams"] > out[11]["total_logp"]
