@@ -641,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": EQ.q_pii_scrub,
         "repetition": EQ.q_repetition,
         "lm_perplexity": EQ.q_lm_perplexity,
+        "dedup_clusters": EQ.q_dedup_clusters,
         "stratified_sample": EQ.q_stratified_sample,
         "url_stats": EQ.q_url_stats,
         # --- multimodal
@@ -711,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": EQ.PII_ORACLE,
         "repetition": EQ.REPETITION_ORACLE,
         "lm_perplexity": EQ.LM_PERPLEXITY_ORACLE,
+        "dedup_clusters": EQ.DEDUP_CLUSTERS_ORACLE,
         "stratified_sample": EQ.STRATIFIED_ORACLE,
         "url_stats": EQ.URL_STATS_ORACLE,
         # every registered query now has an oracle row: VALUES fixtures are

@@ -1788,3 +1788,62 @@ def _lm_oracle() -> str:
 
 
 LM_PERPLEXITY_ORACLE = _lm_oracle()
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the exact
+    word-trigram Jaccard pair graph (doc_id < 100, threshold 0.01), one
+    deterministic survivor (min id) per cluster. The oracle re-derives
+    components via a recursive transitive-closure CTE over the same SQL
+    pair graph."""
+    from ..operators.dedup import jaccard_pairs
+    from ..operators.graph import dedup_clusters
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.01)
+    return dedup_clusters(pairs).withColumnRenamed("id", "doc_id")
+
+
+DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < 100
+),
+words AS (
+  SELECT id, unnest(str_split(norm, ' ')) AS w,
+         generate_subscripts(str_split(norm, ' '), 1) AS pos
+  FROM docs
+),
+grams AS (
+  SELECT DISTINCT id, w || ' ' || lead(w, 1) OVER (PARTITION BY id ORDER BY pos)
+                    || ' ' || lead(w, 2) OVER (PARTITION BY id ORDER BY pos) AS ngram
+  FROM words
+  QUALIFY lead(w, 2) OVER (PARTITION BY id ORDER BY pos) IS NOT NULL
+),
+sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b USING (ngram)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
+  WHERE round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) >= 0.01
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+)
+SELECT id AS doc_id, min(r) AS component,
+       CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+FROM reach GROUP BY id
+"""

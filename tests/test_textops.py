@@ -396,3 +396,17 @@ def test_lm_bigram_scores(spark):
     assert abs(out[11]["total_logp"] - round(math.log(1 / 6), 6)) < 1e-9
     # in-domain scores strictly higher than out-of-domain per-bigram
     assert out[10]["total_logp"] / out[10]["n_bigrams"] > out[11]["total_logp"]
+
+
+def test_connected_components_and_survivors(spark):
+    from doctr_spark.operators.graph import connected_components, dedup_clusters
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    cc = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    surv = {r["id"]: r["is_survivor"] for r in dedup_clusters(pairs).collect()}
+    assert surv == {1: 1, 2: 0, 3: 0, 4: 0, 10: 1, 11: 0, 20: 1, 21: 0, 22: 0}
