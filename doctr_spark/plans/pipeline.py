@@ -66,6 +66,7 @@ def extract_turn_ocr(
     detection_hooks: list | None = None,
     detector=None,
     recognizer=None,
+    orienter=None,
 ) -> tuple[str, int, int, int, float, list[dict], list[dict]]:
     """Decode a page bundle and run [orient ->] detect -> [hooks ->] crop ->
     recognize -> build per page.
@@ -87,7 +88,7 @@ def extract_turn_ocr(
     """
     pages, scale = decode_page_bundle(bundle)
     return extract_pages_ocr(
-        pages, scale, detect_orientation, detection_hooks, detector, recognizer
+        pages, scale, detect_orientation, detection_hooks, detector, recognizer, orienter
     )
 
 
@@ -171,6 +172,7 @@ def _extract_batch(
     detect_orientation: bool = False,
     detector=None,
     recognizer=None,
+    orienter=None,
     error_policy: str = "capture",
 ) -> pd.DataFrame:
     out_rows = []
@@ -183,7 +185,9 @@ def _extract_batch(
         error = None
         n_pages, n_boxes, n_artefacts, min_conf, strip_ratio = 0, 0, 0, 1.0, 1.0
         try:
-            kind, extracted = _route_turn(payload, text, detect_orientation, detector, recognizer)
+            kind, extracted = _route_turn(
+                payload, text, detect_orientation, detector, recognizer, orienter
+            )
         except Exception as exc:  # noqa: BLE001 — per-turn quarantine
             # a corrupt payload must not kill a 10^12-turn job: quarantine
             # the row (kind='error', empty text, bounded message) so the
@@ -211,12 +215,13 @@ def _extract_batch(
     return pd.DataFrame(out_rows, columns=_ROW_COLUMNS)
 
 
-def _route_turn(payload, text, detect_orientation, detector, recognizer):
+def _route_turn(payload, text, detect_orientation, detector, recognizer, orienter=None):
     """Dispatch one turn by payload kind; returns (kind, result) where the
     'ocr' result is the extract tuple and html/plain results are text."""
     if payload is not None and payload[0] == "page_bundle":
         return "ocr", extract_turn_ocr(
-            payload[1], detect_orientation, detector=detector, recognizer=recognizer
+            payload[1], detect_orientation,
+            detector=detector, recognizer=recognizer, orienter=orienter,
         )
     if payload is not None and payload[0] in ("pdf", "image"):
         # real-world payloads: rasterize/decode (env-gated libs), fold
@@ -233,6 +238,7 @@ def _route_turn(payload, text, detect_orientation, detector, recognizer):
             detect_orientation,
             detector=detector,
             recognizer=recognizer,
+            orienter=orienter,
         )
     if text and looks_like_html(text):
         return "html", extract_main_text(text)
@@ -287,6 +293,7 @@ def extract_turns(
     detect_orientation: bool = False,
     detector: ModelLoader | None = None,
     recognizer: ModelLoader | None = None,
+    orienter: ModelLoader | None = None,
     error_policy: str = "capture",
 ) -> DataFrame:
     """Fused extraction over a transcript DataFrame.
@@ -311,15 +318,17 @@ def extract_turns(
         src = src.repartition(salt_partitions, F.xxhash64("conv_id", "turn_idx"))
     det_key, det_loader = detector or DEFAULT_DETECTOR
     rec_key, rec_loader = recognizer or DEFAULT_RECOGNIZER
+    orient_key, orient_loader = orienter or DEFAULT_ORIENTATION
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         det = resolve_model(det_key, det_loader)
         rec = resolve_model(rec_key, rec_loader)
+        ori = resolve_model(orient_key, orient_loader) if detect_orientation else None
         for pdf in batches:
             if len(pdf):
                 yield _extract_batch(
                     pdf, detect_orientation, detector=det, recognizer=rec,
-                    error_policy=error_policy,
+                    orienter=ori, error_policy=error_policy,
                 )
 
     return src.mapInPandas(run, schema=EXTRACT_SCHEMA)

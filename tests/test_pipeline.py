@@ -192,3 +192,30 @@ def test_error_policy_quarantines_corrupt_payloads(spark):
 
     with _pytest.raises(Exception):
         extract_turns(bad, error_policy="raise").collect()
+
+
+def test_orienter_loader_through_extract_turns(spark):
+    """The orientation model plumbs through the distributed path: a custom
+    orienter loader resolves per worker and rotated OCR pages extract
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.sources.corpus import make_transcripts
+
+    gen = make_transcripts(
+        spark, 6, partitions=2, ocr_ratio=1.0, html_ratio=0.0, rot_ratio=1.0
+    ).cache()
+    inp = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    def load_orienter():
+        from doctr_spark.operators.orientation import estimate_page_orientation
+
+        return lambda page, scale: estimate_page_orientation(page, scale)
+
+    out = extract_turns(
+        inp, detect_orientation=True, orienter=("test-orienter", load_orienter)
+    )
+    j = out.join(gen.select("conv_id", "turn_idx", "expected_text"), ["conv_id", "turn_idx"])
+    assert j.filter(F.col("extracted_text") != F.col("expected_text")).count() == 0
+    gen.unpersist()
