@@ -46,6 +46,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         nb_min = (
             sym.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -66,6 +67,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silently-wrong components would corrupt dedup survivors; a graph
+        # whose diameter exceeds max_iter needs more rounds (or the
+        # large-star/small-star contraction)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -410,3 +410,16 @@ def test_connected_components_and_survivors(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
     surv = {r["id"]: r["is_survivor"] for r in dedup_clusters(pairs).collect()}
     assert surv == {1: 1, 2: 0, 3: 0, 4: 0, 10: 1, 11: 0, 20: 1, 21: 0, 22: 0}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from doctr_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # enough rounds: one component labeled by the min id
+    ok = connected_components(chain, max_iter=15)
+    assert {r["component"] for r in ok.collect()} == {0}
