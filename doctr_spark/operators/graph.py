@@ -54,9 +54,16 @@ def connected_components(
             .agg(F.min("label").alias("nb_min"))
             .withColumnRenamed("src", "id")
         )
+        stepped = labels.join(nb_min, "id", "left").select(
+            "id", F.least("label", F.coalesce("nb_min", "label")).alias("label")
+        )
+        # pointer jump: also adopt the label of one's current label — turns
+        # linear label diffusion into doubling, so rounds ~ O(log diameter)
+        # instead of O(diameter) (labels are always existing vertex ids)
+        ptr = stepped.select(F.col("id").alias("label"), F.col("label").alias("ll"))
         new_labels = (
-            labels.join(nb_min, "id", "left")
-            .select("id", F.least("label", F.coalesce("nb_min", "label")).alias("label"))
+            stepped.join(ptr, "label", "left")
+            .select("id", F.least("label", F.coalesce("ll", "label")).alias("label"))
             .localCheckpoint()
         )
         changed = (
