@@ -642,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": EQ.q_repetition,
         "lm_perplexity": EQ.q_lm_perplexity,
         "dedup_clusters": EQ.q_dedup_clusters,
+        "decontaminate": EQ.q_decontaminate,
+        "chunk_windows": EQ.q_chunk_windows,
         "stratified_sample": EQ.q_stratified_sample,
         "url_stats": EQ.q_url_stats,
         # --- multimodal
@@ -713,6 +715,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition": EQ.REPETITION_ORACLE,
         "lm_perplexity": EQ.LM_PERPLEXITY_ORACLE,
         "dedup_clusters": EQ.DEDUP_CLUSTERS_ORACLE,
+        "decontaminate": EQ.DECONTAMINATE_ORACLE,
+        "chunk_windows": EQ.CHUNK_WINDOWS_ORACLE,
         "stratified_sample": EQ.STRATIFIED_ORACLE,
         "url_stats": EQ.URL_STATS_ORACLE,
         # every registered query now has an oracle row: VALUES fixtures are

@@ -330,3 +330,31 @@ BPE_TOKEN_COUNT_SQL = (
     + BPE_SEGMENT_REGEX.replace("'", "''").replace("{", "{{").replace("}", "}}")
     + "'))"
 )
+
+
+# ------------------------------------------------- window chunking
+
+
+def split_into_windows(col: Column, window: int, stride: int) -> Column:
+    """Split normalized text into overlapping token windows (the
+    long-document chunking op before pretraining: window = context length,
+    stride < window = overlap). Pure JVM higher-order functions: tokens
+    once, then slice per window start — array<struct<window_idx, start_tok,
+    n_tokens, chunk>>. Documents shorter than one window yield one chunk."""
+    toks = F.split(normalized_text(col), " ")
+    n = F.size(toks)
+    n_windows = F.greatest(
+        F.lit(1), (F.ceil((n - F.lit(window)) / F.lit(stride)) + 1).cast("int")
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_windows - 1), lambda i: i * stride
+    )
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("window_idx"),
+            s.alias("start_tok"),
+            F.least(F.lit(window), n - s).alias("n_tokens"),
+            F.array_join(F.slice(toks, s + 1, window), " ").alias("chunk"),
+        ),
+    )

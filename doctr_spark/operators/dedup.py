@@ -436,3 +436,41 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
+
+
+# ------------------------------------------------- decontamination
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``min_hits`` distinct word n-grams with any benchmark/eval document
+    (the standard leak filter run before pretraining). Returns
+    (id, n_contaminated_grams, is_contaminated).
+
+    Scale shape: benchmark n-grams are a small distinct set — broadcast to
+    the corpus n-gram stream, so the corpus is scanned once and only
+    (id, gram) hits aggregate; no corpus self-join."""
+    corpus_grams = word_ngrams(corpus, id_col, text_col, n)
+    bench_grams = word_ngrams(benchmark, id_col, text_col, n).select("ngram").distinct()
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "ngram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    ids = corpus.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(hits, "id", "left")
+        .na.fill({"n_contaminated_grams": 0})
+        .select(
+            "id",
+            F.col("n_contaminated_grams").cast("long").alias("n_contaminated_grams"),
+            (F.col("n_contaminated_grams") >= min_hits).cast("long").alias("is_contaminated"),
+        )
+    )

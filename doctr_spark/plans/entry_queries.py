@@ -1847,3 +1847,89 @@ SELECT id AS doc_id, min(r) AS component,
        CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
 FROM reach GROUP BY id
 """
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leak filter: docs 0-49 play the 'benchmark'; the rest of
+    the corpus is flagged when it shares >= 2 distinct word trigrams with
+    any benchmark doc."""
+    from ..operators.dedup import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 50)
+    corpus = docs.filter(F.col("doc_id") >= 50)
+    return decontaminate(corpus, bench, "doc_id", "text", n=3, min_hits=2).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+DECONTAMINATE_ORACLE = """
+WITH docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+         doc_id < 50 AS is_bench
+  FROM documents
+),
+words AS (
+  SELECT id, is_bench, unnest(str_split(norm, ' ')) AS w,
+         generate_subscripts(str_split(norm, ' '), 1) AS pos
+  FROM docs
+),
+grams AS (
+  SELECT DISTINCT id, is_bench,
+         w || ' ' || lead(w, 1) OVER (PARTITION BY id ORDER BY pos)
+           || ' ' || lead(w, 2) OVER (PARTITION BY id ORDER BY pos) AS ngram
+  FROM words
+  QUALIFY lead(w, 2) OVER (PARTITION BY id ORDER BY pos) IS NOT NULL
+),
+bench_grams AS (SELECT DISTINCT ngram FROM grams WHERE is_bench),
+hits AS (
+  SELECT g.id, count(*) AS n_hits
+  FROM grams g JOIN bench_grams b USING (ngram)
+  WHERE NOT g.is_bench
+  GROUP BY g.id
+)
+SELECT d.id AS doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_contaminated_grams,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+FROM docs d LEFT JOIN hits h ON h.id = d.id
+WHERE NOT d.is_bench
+"""
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-doc chunking: 32-token windows, stride 24 (8-token overlap),
+    exploded to one row per (doc, window)."""
+    from ..functions.text import split_into_windows
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    w = F.explode(split_into_windows(F.col("text"), window=32, stride=24)).alias("w")
+    return docs.select("doc_id", w).select(
+        "doc_id",
+        F.col("w.window_idx").cast("long").alias("window_idx"),
+        F.col("w.start_tok").cast("long").alias("start_tok"),
+        F.col("w.n_tokens").cast("long").alias("n_tokens"),
+        F.col("w.chunk").alias("chunk"),
+    )
+
+
+CHUNK_WINDOWS_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents WHERE doc_id < 200
+),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         greatest(1, CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1) AS n_windows
+  FROM docs
+),
+win AS (
+  SELECT doc_id, toks, n, unnest(generate_series(0, n_windows - 1)) AS widx
+  FROM sized
+)
+SELECT doc_id,
+       CAST(widx AS BIGINT) AS window_idx,
+       CAST(widx * 24 AS BIGINT) AS start_tok,
+       CAST(least(32, n - widx * 24) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, widx * 24 + 1, widx * 24 + 32), ' ') AS chunk
+FROM win
+"""

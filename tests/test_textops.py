@@ -423,3 +423,49 @@ def test_connected_components_nonconvergence_raises(spark):
     # enough rounds: one component labeled by the min id
     ok = connected_components(chain, max_iter=15)
     assert {r["component"] for r in ok.collect()} == {0}
+
+
+def test_decontaminate(spark):
+    from doctr_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two exactly")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the secret eval answer is forty two exactly copied"),  # leak
+            (2, "the secret handshake"),                                 # 1 shared trigram? none (needs 3-gram overlap)
+            (3, "totally unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: (r["n_contaminated_grams"], r["is_contaminated"])
+           for r in decontaminate(corpus, bench, "doc_id", "text", n=3, min_hits=2).collect()}
+    assert out[1][1] == 1 and out[1][0] >= 5
+    assert out[3] == (0, 0)
+    assert out[2][1] == 0
+
+
+def test_split_into_windows(spark):
+    from doctr_spark.functions.text import split_into_windows
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "short doc")],
+        "doc_id long, text string",
+    )
+    rows = (
+        df.select("doc_id", F.explode(split_into_windows(F.col("text"), window=4, stride=3)).alias("w"))
+        .select("doc_id", "w.*")
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["window_idx"], r["start_tok"], r["n_tokens"], r["chunk"]))
+    # 10 tokens, window 4, stride 3 -> ceil((10-4)/3)+1 = 3 windows
+    assert [w[:3] for w in sorted(by_doc[1])] == [(0, 0, 4), (1, 3, 4), (2, 6, 4)]
+    assert sorted(by_doc[1])[0][3] == "t0 t1 t2 t3"
+    assert sorted(by_doc[1])[2][3] == "t6 t7 t8 t9"
+    # short doc -> single partial window
+    assert by_doc[2] == [(0, 0, 2, "short doc")]
+    # overlap reconstruction: consecutive windows share stride' = window-stride tokens
+    assert sorted(by_doc[1])[0][3].split()[3:] == sorted(by_doc[1])[1][3].split()[:1]
