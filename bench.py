@@ -99,6 +99,8 @@ def run_queries(spark) -> dict[str, float]:
         "ann_ivf",
         "emb_neardup_lsh",
         "asof_join",
+        "lm_perplexity",
+        "decontaminate",
         "cube_events",
         "pricing_summary",
         "revenue_by_nation",
