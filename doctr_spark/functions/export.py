@@ -62,17 +62,21 @@ def page_export(
             (max(w["geometry"][1][0] for w in ws), max(w["geometry"][1][1] for w in ws)),
         )
         line_objs.append({"geometry": geom, "words": ws})
+    artefact_objs = artefact_export(artefacts or [])
+    # block geometry = enclosing bbox of lines AND artefacts (reference
+    # Block semantics, io/elements.py:76-95 resolve over all children)
+    geoms = [ln["geometry"] for ln in line_objs] + [a["geometry"] for a in artefact_objs]
     block = {
         "geometry": (
-            (min(ln["geometry"][0][0] for ln in line_objs), min(ln["geometry"][0][1] for ln in line_objs)),
-            (max(ln["geometry"][1][0] for ln in line_objs), max(ln["geometry"][1][1] for ln in line_objs)),
+            (min(g[0][0] for g in geoms), min(g[0][1] for g in geoms)),
+            (max(g[1][0] for g in geoms), max(g[1][1] for g in geoms)),
         )
-        if line_objs
+        if geoms
         else ((0.0, 0.0), (0.0, 0.0)),
         "lines": line_objs,
-        "artefacts": artefact_export(artefacts or []),
+        "artefacts": artefact_objs,
     }
-    has_content = bool(line_objs) or bool(block["artefacts"])
+    has_content = bool(geoms)
     return {"page_idx": page_idx, "dimensions": dims, "blocks": [block] if has_content else []}
 
 

@@ -341,10 +341,19 @@ def split_into_windows(col: Column, window: int, stride: int) -> Column:
     stride < window = overlap). Pure JVM higher-order functions: tokens
     once, then slice per window start — array<struct<window_idx, start_tok,
     n_tokens, chunk>>. Documents shorter than one window yield one chunk."""
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
     toks = F.split(normalized_text(col), " ")
     n = F.size(toks)
+    # coverage windows, capped so no start falls past the last token (with
+    # stride > window the uncapped formula would emit empty past-the-end
+    # windows with negative n_tokens)
     n_windows = F.greatest(
-        F.lit(1), (F.ceil((n - F.lit(window)) / F.lit(stride)) + 1).cast("int")
+        F.lit(1),
+        F.least(
+            (F.ceil((n - F.lit(window)) / F.lit(stride)) + 1).cast("int"),
+            (F.floor((n - 1) / F.lit(stride)) + 1).cast("int"),
+        ),
     )
     starts = F.transform(
         F.sequence(F.lit(0), n_windows - 1), lambda i: i * stride

@@ -61,6 +61,11 @@ VOCABS: dict[str, str] = {
         + "".join(chr(c) for c in (0xFB40, 0xFB41, 0xFB43, 0xFB44))
         + "".join(chr(c) for c in range(0xFB46, 0xFB50))
     ),
+    # NB: U+05BC (dagesh) sits between the vowel and punctuation ranges
+    # and is in NEITHER — faithful to the reference table, which also
+    # omits the standalone point (precomposed dagesh letters are in
+    # hebrew_specials). Same for U+25CC inside gujarati_punctuation above:
+    # the reference ships the dotted-circle placeholder and so do we.
     "hebrew_punctuation": "".join(chr(c) for c in range(0x05BD, 0x05C7)) + "׳״",
     "hebrew_vowels": "".join(chr(c) for c in range(0x05B0, 0x05BC)) + chr(0x05C7),
     # Latin

@@ -57,13 +57,20 @@ def distinct_by_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFr
 # ----------------------------------------------------------- n-gram Jaccard
 
 
-def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, ngram) distinct word n-grams via posexplode + lead windows —
-    fully relational, so the DuckDB oracle can mirror it."""
-    words = df.select(
+def word_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, w): positional word tokens over normalized text — the
+    shared base stream for n-grams, repetition stats, and LM scoring (one
+    definition so a tokenizer change cannot silently diverge them)."""
+    return df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias("pos", "w"),
     )
+
+
+def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, ngram) distinct word n-grams via posexplode + lead windows —
+    fully relational, so the DuckDB oracle can mirror it."""
+    words = word_tokens(df, id_col, text_col)
     w = Window.partitionBy("id").orderBy("pos")
     cols = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
     return (
@@ -399,10 +406,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Returns (id, n_words, n_distinct_words, dup_word_frac, top_bigram,
     top_bigram_count, top_bigram_frac); ties on the top bigram break
     lexicographically."""
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias("pos", "w"),
-    )
+    words = word_tokens(df, id_col, text_col)
     word_stats = words.groupBy("id").agg(
         F.count("*").alias("n_words"),
         F.countDistinct("w").alias("n_distinct_words"),

@@ -23,14 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized_text
-
-
-def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias("pos", "w"),
-    )
+from .dedup import word_tokens as _words
 
 
 def bigram_counts(train: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame, int]:

@@ -65,7 +65,10 @@ def stratified_sample(
     for stratum, rate in sorted(rates.items()):
         pred = pred | ((F.col(strata_col) == stratum) & sample_predicate(F.col(id_col), rate))
     if default_rate > 0:
-        others = ~F.col(strata_col).isin(list(rates))
+        # NULL-safe: ~isin() is NULL (not True) for NULL strata, which
+        # filter() would silently drop — unknown-language rows must fall
+        # into the default bucket
+        others = F.col(strata_col).isNull() | ~F.col(strata_col).isin(list(rates))
         pred = pred | (others & sample_predicate(F.col(id_col), default_rate))
     return df.filter(pred)
 
@@ -78,5 +81,8 @@ def stratified_sample_sql(id_expr: str, strata_expr: str, rates: dict[str, float
     ]
     if default_rate > 0:
         quoted = ", ".join(f"'{s}'" for s in rates)
-        parts.append(f"({strata_expr} NOT IN ({quoted}) AND {sample_predicate_sql(id_expr, default_rate)})")
+        parts.append(
+            f"(({strata_expr} IS NULL OR {strata_expr} NOT IN ({quoted})) "
+            f"AND {sample_predicate_sql(id_expr, default_rate)})"
+        )
     return " OR ".join(parts) if parts else "FALSE"

@@ -227,18 +227,21 @@ def _exact_pairs_blocked(
     block_rows x dim floats), never the N^2 pair rows a row-level join
     would materialize; compute is one BLAS call per tile instead of
     millions of per-pair kernel invocations."""
-    n = corpus.count()
+    n = corpus.count()  # prunes to the id column; sizes the block count
     if n_blocks is None:
         n_blocks = max(1, -(-n // block_rows))
+    id_type = corpus.schema[id_col].dataType.simpleString()
     src = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
+    # checkpoint: the block aggregation feeds BOTH sides of the self-join
+    # below — without it the groupBy/collect_list runs twice
     blocks = src.groupBy("blk").agg(
         F.collect_list("id").alias("ids"),
         F.collect_list("v").alias("vecs"),
-    )
+    ).localCheckpoint()
     pairs = (
         blocks.alias("x")
         .join(blocks.alias("y"), F.col("x.blk") <= F.col("y.blk"))
@@ -255,8 +258,10 @@ def _exact_pairs_blocked(
             for ids_a, vecs_a, ids_b, vecs_b, same in zip(
                 pdf["ids_a"], pdf["vecs_a"], pdf["ids_b"], pdf["vecs_b"], pdf["same_blk"]
             ):
-                ia = np.asarray(ids_a, dtype=np.int64)
-                ib = np.asarray(ids_b, dtype=np.int64)
+                # no forced dtype: ids may be ints or strings (minimum/
+                # maximum/lexsort are dtype-generic)
+                ia = np.asarray(ids_a)
+                ib = np.asarray(ids_b)
                 ma = np.stack([np.asarray(v, dtype=np.float64) for v in vecs_a])
                 mb = np.stack([np.asarray(v, dtype=np.float64) for v in vecs_b])
                 na = np.linalg.norm(ma, axis=1, keepdims=True)
@@ -282,11 +287,11 @@ def _exact_pairs_blocked(
                 else:
                     out_a.extend(lo[keep]); out_b.extend(hi[keep])
                     out_s.extend(sims[ra[keep], cb[keep]])
-            yield pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
-                                "id_b": pd.Series(out_b, dtype="int64"),
+            yield pd.DataFrame({"id_a": pd.Series(list(out_a)),
+                                "id_b": pd.Series(list(out_b)),
                                 "sim": pd.Series(out_s, dtype="float64")})
 
-    return pairs.mapInPandas(score, "id_a long, id_b long, sim double")
+    return pairs.mapInPandas(score, f"id_a {id_type}, id_b {id_type}, sim double")
 
 
 def ivf_centroids(dim: int, n_centroids: int, seed: int = 11) -> np.ndarray:

@@ -1919,7 +1919,8 @@ WITH docs AS (
 ),
 sized AS (
   SELECT doc_id, toks, len(toks) AS n,
-         greatest(1, CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1) AS n_windows
+         greatest(1, least(CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1,
+                           CAST(floor((len(toks) - 1) / 24.0) AS INT) + 1)) AS n_windows
   FROM docs
 ),
 win AS (

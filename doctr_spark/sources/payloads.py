@@ -114,7 +114,13 @@ def read_pdf_pages(
         ) from exc
     pdf = pdfium.PdfDocument(pdf_bytes, password=password)
     try:
-        return [page.render(scale=scale, rev_byteorder=rgb_mode).to_numpy() for page in pdf]
+        # copy: to_numpy() can alias the PdfBitmap's buffer, which is freed
+        # when the bitmap is GC'd / the document closes below — returned
+        # arrays must own their pixels
+        return [
+            np.array(page.render(scale=scale, rev_byteorder=rgb_mode).to_numpy(), copy=True)
+            for page in pdf
+        ]
     finally:
         pdf.close()
 

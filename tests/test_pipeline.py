@@ -184,7 +184,7 @@ def test_error_policy_quarantines_corrupt_payloads(spark):
     errs = out.filter(F.col("payload_kind") == "error").collect()
     assert len(errs) == 1
     assert errs[0]["conv_id"] == "conv-bad" and errs[0]["extracted_text"] == ""
-    assert errs[0]["error"] and "Error" in errs[0]["error"] or errs[0]["error"]
+    assert errs[0]["error"] and "Error" in errs[0]["error"]
     # every valid turn still extracted
     assert out.filter(F.col("payload_kind") == "ocr").count() == good.count()
     assert out.filter((F.col("payload_kind") != "error") & F.col("error").isNotNull()).count() == 0

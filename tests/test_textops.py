@@ -469,3 +469,58 @@ def test_split_into_windows(spark):
     assert by_doc[2] == [(0, 0, 2, "short doc")]
     # overlap reconstruction: consecutive windows share stride' = window-stride tokens
     assert sorted(by_doc[1])[0][3].split()[3:] == sorted(by_doc[1])[1][3].split()[:1]
+
+
+def test_stratified_sample_null_strata_fall_into_default(spark):
+    from doctr_spark.operators.sampling import stratified_sample
+
+    docs = spark.range(0, 600).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, F.lit(None))
+        .otherwise("xx")
+        .alias("lang"),
+    )
+    out = stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, default_rate=1.0)
+    # NULL and unlisted strata both keep EVERYTHING at default_rate=1.0
+    assert out.filter(F.col("lang").isNull()).count() == 200
+    assert out.filter(F.col("lang") == "xx").count() == 200
+    # and the SQL twin agrees
+    from doctr_spark.operators.sampling import stratified_sample_sql
+
+    import duckdb
+
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    pred = stratified_sample_sql("doc_id", "lang", {"en": 0.5}, default_rate=1.0)
+    n = con.execute(f"SELECT count(*) FROM documents WHERE {pred}").fetchone()[0]
+    assert n == out.count()
+
+
+def test_split_into_windows_stride_gt_window(spark):
+    from doctr_spark.functions.text import split_into_windows
+
+    df = spark.createDataFrame([(1, " ".join(f"t{i}" for i in range(10)))], "id long, text string")
+    rows = (
+        df.select(F.explode(split_into_windows(F.col("text"), window=4, stride=20)).alias("w"))
+        .select("w.*")
+        .collect()
+    )
+    # only one valid window; no past-the-end starts, no negative n_tokens
+    assert [(r["window_idx"], r["start_tok"], r["n_tokens"]) for r in rows] == [(0, 0, 4)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_into_windows(F.col("text"), window=0, stride=1)
+
+
+def test_exact_embedding_neardup_string_ids(spark):
+    """The blocked exact path is id-type agnostic (regression: int64 cast
+    broke string-keyed corpora)."""
+    from doctr_spark.operators.similarity import embedding_near_duplicates
+
+    rows = [("doc-a", [1.0, 0.0]), ("doc-b", [1.0, 0.001]), ("doc-c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(df, threshold=0.99).collect()}
+    assert out == {("doc-a", "doc-b")}
