@@ -348,3 +348,24 @@ def test_streaming_watermark_bounds_state(spark, tmp_path_factory):
         final[key] = max(final.get(key, 0), r["n_turns"])
     assert final["12:00"] == 6, final   # within-watermark late row merged
     assert final.get("09:00", 1) == 1, final  # expired window never accumulates
+
+
+def test_pack_sequences_first_fit_decreasing_tighter(spark):
+    """FFD packs a skewed length mix into no more (usually fewer) packs
+    than arrival-order first-fit, with all invariants intact."""
+    from doctr_spark.operators.dedup import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate([90, 10, 80, 20, 70, 30, 60, 40, 50, 50] * 4)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    base = pack_sequences(df, "doc_id", "n_tokens", budget=100, partitions=1)
+    ffd = pack_sequences(df, "doc_id", "n_tokens", budget=100, partitions=1, decreasing=True)
+    n_base = base.select("pack_id").distinct().count()
+    n_ffd = ffd.select("pack_id").distinct().count()
+    assert n_ffd <= n_base
+    from pyspark.sql import functions as F
+
+    per = ffd.groupBy("pack_id").agg(F.sum("n_tokens").alias("t"))
+    assert per.filter(F.col("t") > 100).count() == 0
+    assert ffd.count() == df.count()
+    # this mix packs perfectly under FFD: 40 docs * 50 avg = 2000 tokens -> 20 packs
+    assert n_ffd == 20
