@@ -18,8 +18,25 @@ import numpy as np
 from .builder import reading_order_keys
 
 
+import re
+
+_EMAIL_RE = re.compile(r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$")
+_URL_RE = re.compile(r"^https?://\S+$", re.IGNORECASE)
+_DATE_RE = re.compile(
+    r"^([0-9]{4}[-/][0-9]{1,2}[-/][0-9]{1,2}|[0-9]{1,2}[-/][0-9]{1,2}[-/][0-9]{2,4})$"
+)
+
+
 def classify_token(value: str) -> str:
-    """Deterministic word-class assignment."""
+    """Deterministic word-class assignment. Entity classes first (email /
+    url / date — the typed KIE classes a real per-class detection head
+    would emit), then the base number / word / symbol split."""
+    if _EMAIL_RE.match(value):
+        return "email"
+    if _URL_RE.match(value):
+        return "url"
+    if _DATE_RE.match(value):
+        return "date"
     if any(c.isdigit() for c in value) and not any(c.isalpha() for c in value):
         return "number"
     if any(c.isalpha() for c in value):

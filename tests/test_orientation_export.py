@@ -289,3 +289,20 @@ def test_artefact_nodes_in_export():
     assert nodes[0]["type"] == "block"
     assert nodes[0]["geometry"] == ((a["xmin"], a["ymin"]), (a["xmax"], a["ymax"]))
     assert artefact_render(nodes[0]["type"]) == "[BLOCK]"
+
+
+def test_kie_entity_classes():
+    import numpy as np
+
+    from doctr_spark.operators.kie import build_kie_page, classify_token, render_kie_page
+
+    assert classify_token("a.b@c.io") == "email"
+    assert classify_token("https://x.org/d") == "url"
+    assert classify_token("2026-08-17") == "date"
+    assert classify_token("17/08/26") == "date"
+    assert classify_token("42") == "number"
+    assert classify_token("HELLO") == "word"
+    boxes = np.array([[0.0, 0.0, 0.1, 0.1], [0.2, 0.0, 0.3, 0.1], [0.0, 0.3, 0.1, 0.4]])
+    kie = build_kie_page(boxes, ["a@b.io", "2026-08-17", "PAY"])
+    assert set(kie) == {"email", "date", "word"}
+    assert render_kie_page(kie) == "date: 2026-08-17\n\nemail: a@b.io\n\nword: PAY"
