@@ -588,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_joins": EQ.q_render_joins,
         "split_crops": EQ.q_split_crops,
         "kie_render": EQ.q_kie_render,
+        "kie_entities": EQ.q_kie_entities,
         "orientation": EQ.q_orientation,
         "hocr_export": EQ.q_hocr_export,
         "translate_vocab": EQ.q_translate,
@@ -664,6 +665,7 @@ def oracle_sql() -> dict[str, str]:
         "render_joins": EQ.RENDER_ORACLE,
         "split_crops": EQ.SPLIT_ORACLE,
         "kie_render": EQ.KIE_ORACLE,
+        "kie_entities": EQ.KIE_ENTITIES_ORACLE,
         "orientation": EQ.ORIENTATION_ORACLE,
         "hocr_export": EQ.HOCR_ORACLE,
         "translate_vocab": EQ.TRANSLATE_ORACLE,

@@ -1934,3 +1934,41 @@ SELECT doc_id,
        array_to_string(list_slice(toks, widx * 24 + 1, widx * 24 + 32), ' ') AS chunk
 FROM win
 """
+
+
+# ---- KIE entity classification over fixture words
+KIE_ENTITY_FIXTURES = [
+    (1, "A.B@C.IO", "email"),
+    (2, "HTTPS://X.ORG/D", "url"),
+    (3, "2026-08-17", "date"),
+    (4, "17/08/26", "date"),
+    (5, "42", "number"),
+    (6, "$99", "number"),
+    (7, "HELLO", "word"),
+    (8, "A+B=C", "word"),
+    (9, "+", "symbol"),
+    (10, "R&D", "word"),
+]
+
+
+def q_kie_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed KIE token classification (email/url/date + number/word/symbol)."""
+    from ..operators.kie import classify_token
+
+    src = spark.createDataFrame(
+        [(cid, v) for cid, v, _ in KIE_ENTITY_FIXTURES], "case_id long, token string"
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {"case_id": pdf["case_id"], "cls": [classify_token(v) for v in pdf["token"]]}
+            )
+
+    return src.mapInPandas(run, "case_id long, cls string")
+
+
+KIE_ENTITIES_ORACLE = values_oracle(
+    [(cid, cls) for cid, _, cls in KIE_ENTITY_FIXTURES],
+    [("case_id", "BIGINT"), ("cls", "VARCHAR")],
+)
