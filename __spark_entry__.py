@@ -649,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": EQ.q_url_stats,
         # --- multimodal
         "bundle_metadata": _q_bundle_metadata,
+        "image_neardup": EQ.q_image_neardup,
     }
 
 
@@ -710,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ANN_IVF_ORACLE,
         "emb_neardup_lsh": _EMB_NEARDUP_LSH_ORACLE,
         "bundle_metadata": _BUNDLE_METADATA_ORACLE,
+        "image_neardup": EQ.IMAGE_NEARDUP_ORACLE,
         "ocr_quality": _OCR_QUALITY_ORACLE,
         "detection_metric": EQ.DETECTION_METRIC_ORACLE,
         "ocr_metric": EQ.OCR_METRIC_ORACLE,

@@ -98,3 +98,47 @@ def decode_image_real(img_bytes: bytes) -> np.ndarray:  # pragma: no cover - env
         raise NotImplementedError("cv2 not installed: real image decode unavailable") from exc
     arr = np.frombuffer(img_bytes, dtype=np.uint8)
     return cv2.imdecode(arr, cv2.IMREAD_COLOR)
+
+
+def dhash64(img: np.ndarray, grid: int = 8) -> int:
+    """64-bit difference hash of a grayscale page: block-average to an
+    (grid x grid+1) intensity grid (area mean — deterministic, no
+    interpolation library), then one bit per horizontal gradient sign.
+    Near-identical renders agree on almost every bit; unrelated pages
+    differ on ~half — the standard perceptual near-dup key for image
+    corpora."""
+    h, w = img.shape
+    gy, gx = grid, grid + 1
+    ys = np.linspace(0, h, gy + 1).astype(int)
+    xs = np.linspace(0, w, gx + 1).astype(int)
+    cs = np.zeros((h + 1, w + 1), dtype=np.float64)
+    cs[1:, 1:] = img.astype(np.float64).cumsum(0).cumsum(1)
+    cells = np.zeros((gy, gx))
+    for r in range(gy):
+        for c in range(gx):
+            y0, y1, x0, x1 = ys[r], ys[r + 1], xs[c], xs[c + 1]
+            area = max(1, (y1 - y0) * (x1 - x0))
+            cells[r, c] = (cs[y1, x1] - cs[y0, x1] - cs[y1, x0] + cs[y0, x0]) / area
+    bits = (cells[:, 1:] > cells[:, :-1]).astype(np.uint64).reshape(-1)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+def page_dhash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, page_idx, dhash long) perceptual hashes for every page of every
+    bundle — feeds the SAME pigeonhole Hamming blocking as SimHash
+    (operators/dedup.simhash_near_duplicates) for image-level near-dup at
+    scale: bytes stay opaque at plan level, hashing is Arrow-batched, and
+    only (id, 64-bit hash) rows ever shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                pages, _ = decode_page_bundle(bytes(blob))
+                for p_idx, img in enumerate(pages):
+                    rows.append(
+                        {"id": i, "page_idx": p_idx, "dhash": np.int64(np.uint64(dhash64(img)))}
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema="id long, page_idx int, dhash long")

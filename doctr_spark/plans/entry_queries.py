@@ -1972,3 +1972,43 @@ KIE_ENTITIES_ORACLE = values_oracle(
     [(cid, cls) for cid, _, cls in KIE_ENTITY_FIXTURES],
     [("case_id", "BIGINT"), ("cls", "VARCHAR")],
 )
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level near-dup over OCR page bundles: perceptual dHash per
+    page, then the SAME pigeonhole Hamming blocking as SimHash — pairs of
+    visually identical/near-identical pages across the generated corpus,
+    summarized (pair count per distance + key checksums). Oracle constants
+    from an exhaustive deterministic run."""
+    from ..operators.dedup import simhash_near_duplicates
+    from ..operators.multimodal import page_dhash
+    from ..sources.corpus import make_transcripts
+
+    gen = make_transcripts(spark, 10, partitions=2, ocr_ratio=1.0, html_ratio=0.0)
+    with_payload = gen.select(
+        (
+            F.regexp_extract("conv_id", r"conv-(\d+)", 1).cast("long") * 10000
+            + F.col("turn_idx").cast("long")
+        ).alias("row_id"),
+        F.unbase64(F.get_json_object("tool", "$.b64")).alias("payload"),
+    )
+    hashes = page_dhash(with_payload, "row_id", "payload").select(
+        (F.col("id") * 10 + F.col("page_idx")).alias("id"),
+        F.col("dhash").alias("simhash"),
+    )
+    nd = simhash_near_duplicates(hashes, max_hamming=2)
+    return nd.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("hamming") == 0).cast("long")).alias("h0"),
+        F.sum("id_a").alias("sum_a"),
+        F.sum("id_b").alias("sum_b"),
+    )
+
+
+IMAGE_NEARDUP_ORACLE = """
+-- exhaustive deterministic run over the generated bundles (all page pairs,
+-- dHash hamming <= 2): 34 pairs, 33 of them bit-identical renders
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs, CAST(h0 AS BIGINT) AS h0,
+       CAST(sum_a AS BIGINT) AS sum_a, CAST(sum_b AS BIGINT) AS sum_b
+FROM (VALUES (34, 33, 10601859, 19101744)) AS v(n_pairs, h0, sum_a, sum_b)
+"""

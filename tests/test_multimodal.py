@@ -47,3 +47,25 @@ def test_frame_sample(spark, bundles):
 def test_real_decoder_gated():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\xff\xd8\xff")
+
+
+def test_dhash_and_page_dhash(spark):
+    import numpy as np
+
+    from doctr_spark.operators.multimodal import dhash64, page_dhash
+    from doctr_spark.sources.font import render_page
+    from doctr_spark.sources.payloads import encode_page_bundle
+
+    a, _ = render_page(["SAME", "PAGE", "42"], scale=3)
+    b, _ = render_page(["SAME", "PAGE", "42"], scale=3)
+    c, _ = render_page(["COMPLETELY", "DIFFERENT", "CONTENT", "NOW"], scale=3)
+    assert dhash64(a) == dhash64(b)  # identical renders collide exactly
+    diff = bin(dhash64(a) ^ dhash64(c)).count("1")
+    assert diff >= 8  # unrelated pages far apart
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_page_bundle([a, c], 3)))], "row_id long, payload binary"
+    )
+    out = {(r["id"], r["page_idx"]): r["dhash"] for r in page_dhash(df, "row_id", "payload").collect()}
+    assert out[(1, 0)] == np.int64(np.uint64(dhash64(a)))
+    assert len(out) == 2
