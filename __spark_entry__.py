@@ -650,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal
         "bundle_metadata": _q_bundle_metadata,
         "image_neardup": EQ.q_image_neardup,
+        "audio_rms": EQ.q_audio_rms,
     }
 
 
@@ -712,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_lsh": _EMB_NEARDUP_LSH_ORACLE,
         "bundle_metadata": _BUNDLE_METADATA_ORACLE,
         "image_neardup": EQ.IMAGE_NEARDUP_ORACLE,
+        "audio_rms": EQ.AUDIO_RMS_ORACLE,
         "ocr_quality": _OCR_QUALITY_ORACLE,
         "detection_metric": EQ.DETECTION_METRIC_ORACLE,
         "ocr_metric": EQ.OCR_METRIC_ORACLE,

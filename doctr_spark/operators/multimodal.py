@@ -142,3 +142,38 @@ def page_dhash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema="id long, page_idx int, dhash long")
+
+
+def pcm_rms_windows(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    sample_rate: int = 16000,
+    window_ms: int = 250,
+) -> DataFrame:
+    """Audio-modality features with zero codec dependencies: payloads are
+    raw mono int16 PCM; each window of ``window_ms`` emits its RMS energy
+    (rounded 6) — the loudness-envelope primitive for silence trimming /
+    speech-segment mining. One row in -> n_windows rows out; bytes decode
+    inside the Arrow batch only. Compressed formats (mp3/ogg) would slot a
+    decoder in front exactly like the image path's env-gated cv2."""
+    win = int(sample_rate * window_ms / 1000)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                pcm = np.frombuffer(bytes(blob), dtype="<i2").astype(np.float64)
+                n_win = max(1, -(-len(pcm) // win)) if len(pcm) else 0
+                for widx in range(n_win):
+                    seg = pcm[widx * win : (widx + 1) * win]
+                    rms = float(np.sqrt(np.mean(seg * seg))) if seg.size else 0.0
+                    rows.append(
+                        {"id": i, "window_idx": widx, "n_samples": int(seg.size),
+                         "rms": round(rms, 6)}
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema="id long, window_idx int, n_samples int, rms double"
+    )

@@ -2012,3 +2012,43 @@ SELECT CAST(n_pairs AS BIGINT) AS n_pairs, CAST(h0 AS BIGINT) AS h0,
        CAST(sum_a AS BIGINT) AS sum_a, CAST(sum_b AS BIGINT) AS sum_b
 FROM (VALUES (34, 33, 10601859, 19101744)) AS v(n_pairs, h0, sum_a, sum_b)
 """
+
+
+def q_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality RMS envelope over deterministic synthetic PCM clips
+    (sine bursts + silence; raw int16 needs no codec — fully real path)."""
+    import math
+    import struct as _struct
+
+    from ..operators.multimodal import pcm_rms_windows
+
+    sr = 8000
+    clips = []
+    for cid in range(4):
+        # cid cycles amplitude; second half of each clip is silence
+        amp = 2000 * (cid + 1)
+        tone = [int(amp * math.sin(2 * math.pi * 440 * t / sr)) for t in range(sr // 2)]
+        pcm = tone + [0] * (sr // 4)
+        clips.append((cid, bytearray(_struct.pack(f"<{len(pcm)}h", *pcm))))
+    src = spark.createDataFrame(clips, "clip_id long, payload binary")
+    out = pcm_rms_windows(src, "clip_id", "payload", sample_rate=sr, window_ms=250)
+    return out.select(
+        F.col("id").alias("clip_id"),
+        F.col("window_idx").cast("long").alias("window_idx"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "rms",
+    )
+
+
+AUDIO_RMS_ORACLE = values_oracle(
+    # deterministic sine-burst fixture: RMS ~ amp/sqrt(2) per 250 ms tone
+    # window, exact 0 for the silence tail (values pinned from the pure
+    # numpy computation)
+    [
+        (0, 0, 2000, 1413.852743), (0, 1, 2000, 1413.852743), (0, 2, 2000, 0.0),
+        (1, 0, 2000, 2828.109885), (1, 1, 2000, 2828.109885), (1, 2, 2000, 0.0),
+        (2, 0, 2000, 4242.173012), (2, 1, 2000, 4242.173012), (2, 2, 2000, 0.0),
+        (3, 0, 2000, 5656.469926), (3, 1, 2000, 5656.469926), (3, 2, 2000, 0.0),
+    ],
+    [("clip_id", "BIGINT"), ("window_idx", "BIGINT"), ("n_samples", "BIGINT"), ("rms", "DOUBLE")],
+)

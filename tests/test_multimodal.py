@@ -69,3 +69,18 @@ def test_dhash_and_page_dhash(spark):
     out = {(r["id"], r["page_idx"]): r["dhash"] for r in page_dhash(df, "row_id", "payload").collect()}
     assert out[(1, 0)] == np.int64(np.uint64(dhash64(a)))
     assert len(out) == 2
+
+
+def test_pcm_rms_windows(spark):
+    import numpy as np
+
+    from doctr_spark.operators.multimodal import pcm_rms_windows
+
+    sr = 1000
+    # 1.5 s: constant amplitude 1000 then silence
+    pcm = np.concatenate([np.full(sr, 1000, dtype="<i2"), np.zeros(sr // 2, dtype="<i2")])
+    df = spark.createDataFrame([(7, bytearray(pcm.tobytes()))], "clip_id long, payload binary")
+    out = {r["window_idx"]: r for r in pcm_rms_windows(df, "clip_id", "payload", sample_rate=sr, window_ms=500).collect()}
+    assert len(out) == 3
+    assert out[0]["rms"] == 1000.0 and out[1]["rms"] == 1000.0
+    assert out[2]["rms"] == 0.0 and out[2]["n_samples"] == 500
