@@ -651,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bundle_metadata": _q_bundle_metadata,
         "image_neardup": EQ.q_image_neardup,
         "audio_rms": EQ.q_audio_rms,
+        "pixel_stats": EQ.q_pixel_stats,
+        "frame_sample": EQ.q_frame_sample,
     }
 
 
@@ -714,6 +716,8 @@ def oracle_sql() -> dict[str, str]:
         "bundle_metadata": _BUNDLE_METADATA_ORACLE,
         "image_neardup": EQ.IMAGE_NEARDUP_ORACLE,
         "audio_rms": EQ.AUDIO_RMS_ORACLE,
+        "pixel_stats": EQ.PIXEL_STATS_ORACLE,
+        "frame_sample": EQ.FRAME_SAMPLE_ORACLE,
         "ocr_quality": _OCR_QUALITY_ORACLE,
         "detection_metric": EQ.DETECTION_METRIC_ORACLE,
         "ocr_metric": EQ.OCR_METRIC_ORACLE,

@@ -2052,3 +2052,157 @@ AUDIO_RMS_ORACLE = values_oracle(
     ],
     [("clip_id", "BIGINT"), ("window_idx", "BIGINT"), ("n_samples", "BIGINT"), ("rms", "DOUBLE")],
 )
+
+
+def _bundles_from_corpus(spark: SparkSession, n_convs: int = 8):
+    from ..sources.corpus import make_transcripts
+
+    gen = make_transcripts(spark, n_convs, partitions=2, ocr_ratio=1.0, html_ratio=0.0)
+    return gen.select(
+        (
+            F.regexp_extract("conv_id", r"conv-(\d+)", 1).cast("long") * 1000
+            + F.col("turn_idx").cast("long")
+        ).alias("row_id"),
+        F.unbase64(F.get_json_object("tool", "$.b64")).alias("payload"),
+    )
+
+
+def q_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page pixel feature extraction (image feature-extractor stand-in):
+    dims + ink ratio + mean intensity, summarized per page height class so
+    the deterministic generator pins a VALUES oracle."""
+    from ..operators.multimodal import page_pixel_stats
+
+    stats = page_pixel_stats(_bundles_from_corpus(spark, 8), "row_id", "payload")
+    stats = stats.select(
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        "ink_ratio", "mean_intensity",
+    )
+    return stats.groupBy("height", "width").agg(
+        F.count("*").alias("n_pages"),
+        F.round(F.avg("ink_ratio"), 6).alias("avg_ink_ratio"),
+        F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video analog): keep every 2nd page of each bundle."""
+    from ..operators.multimodal import frame_sample
+
+    out = frame_sample(_bundles_from_corpus(spark, 8), "row_id", "payload", every_k=2)
+    return out.select(
+        F.col("id").alias("turn_key"),
+        F.col("page_idx").cast("long").alias("page_idx"),
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+    )
+
+
+PIXEL_STATS_ORACLE = """
+-- generator-pinned per-height-class pixel stats (8 deterministic convs)
+SELECT CAST(height AS BIGINT) AS height, CAST(width AS BIGINT) AS width,
+       CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(avg_ink_ratio AS DOUBLE) AS avg_ink_ratio,
+       CAST(avg_intensity AS DOUBLE) AS avg_intensity
+FROM (VALUES
+  (69, 640, 27, 0.068237, 237.599638),
+  (117, 640, 51, 0.06649, 238.045072),
+  (165, 640, 44, 0.072552, 236.499329)
+) AS v(height, width, n_pages, avg_ink_ratio, avg_intensity)
+"""
+
+FRAME_SAMPLE_ORACLE = """
+-- generator-pinned every-2nd-page sample over 8 deterministic convs
+SELECT CAST(turn_key AS BIGINT) AS turn_key, CAST(page_idx AS BIGINT) AS page_idx,
+       CAST(height AS BIGINT) AS height, CAST(width AS BIGINT) AS width
+FROM (VALUES
+  (0, 0, 165, 640),
+  (1, 0, 165, 640),
+  (2, 0, 69, 640),
+  (3, 0, 117, 640),
+  (4, 0, 117, 640),
+  (5, 0, 117, 640),
+  (6, 0, 117, 640),
+  (7, 0, 69, 640),
+  (8, 0, 69, 640),
+  (9, 0, 69, 640),
+  (10, 0, 165, 640),
+  (11, 0, 165, 640),
+  (1000, 0, 69, 640),
+  (1001, 0, 69, 640),
+  (1002, 0, 69, 640),
+  (2000, 0, 117, 640),
+  (2001, 0, 165, 640),
+  (2002, 0, 69, 640),
+  (2003, 0, 117, 640),
+  (2004, 0, 117, 640),
+  (2005, 0, 165, 640),
+  (2006, 0, 117, 640),
+  (2007, 0, 117, 640),
+  (2008, 0, 117, 640),
+  (2009, 0, 165, 640),
+  (2010, 0, 117, 640),
+  (2011, 0, 117, 640),
+  (2012, 0, 165, 640),
+  (3000, 0, 165, 640),
+  (3001, 0, 117, 640),
+  (3002, 0, 165, 640),
+  (3003, 0, 117, 640),
+  (3004, 0, 165, 640),
+  (3005, 0, 165, 640),
+  (3006, 0, 69, 640),
+  (3007, 0, 117, 640),
+  (3008, 0, 117, 640),
+  (3009, 0, 117, 640),
+  (3010, 0, 117, 640),
+  (3011, 0, 165, 640),
+  (3012, 0, 117, 640),
+  (4000, 0, 69, 640),
+  (4001, 0, 117, 640),
+  (4002, 0, 117, 640),
+  (4003, 0, 117, 640),
+  (4004, 0, 69, 640),
+  (4005, 0, 165, 640),
+  (4006, 0, 69, 640),
+  (4007, 0, 165, 640),
+  (4008, 0, 165, 640),
+  (5000, 0, 69, 640),
+  (5001, 0, 117, 640),
+  (5002, 0, 117, 640),
+  (5003, 0, 165, 640),
+  (5004, 0, 165, 640),
+  (5005, 0, 165, 640),
+  (5006, 0, 117, 640),
+  (5007, 0, 117, 640),
+  (5008, 0, 165, 640),
+  (5009, 0, 165, 640),
+  (5010, 0, 69, 640),
+  (5011, 0, 165, 640),
+  (6000, 0, 165, 640),
+  (6001, 0, 69, 640),
+  (6002, 0, 165, 640),
+  (6003, 0, 69, 640),
+  (6004, 0, 117, 640),
+  (6005, 0, 69, 640),
+  (6006, 0, 117, 640),
+  (6007, 0, 165, 640),
+  (6008, 0, 117, 640),
+  (6009, 0, 69, 640),
+  (6010, 0, 117, 640),
+  (6011, 0, 165, 640),
+  (6012, 0, 117, 640),
+  (6013, 0, 165, 640),
+  (7000, 0, 165, 640),
+  (7001, 0, 117, 640),
+  (7002, 0, 117, 640),
+  (7003, 0, 69, 640),
+  (7004, 0, 117, 640),
+  (7005, 0, 117, 640),
+  (7006, 0, 69, 640),
+  (7007, 0, 165, 640),
+  (7008, 0, 165, 640),
+  (7009, 0, 117, 640),
+  (7010, 0, 117, 640)
+) AS v(turn_key, page_idx, height, width)
+"""
