@@ -604,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": EQ.q_pivot_events,
         "cube_events": EQ.q_cube_events,
         "asof_join": EQ.q_asof_join,
+        "anomalies": EQ.q_anomalies,
         "pricing_summary": EQ.q_pricing_summary,
         "revenue_by_nation": EQ.q_revenue_by_nation,
         "streaming_sessionize": _q_streaming_sessionize,
@@ -684,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_events": EQ.PIVOT_ORACLE,
         "cube_events": EQ.CUBE_ORACLE,
         "asof_join": EQ.ASOF_ORACLE,
+        "anomalies": EQ.ANOMALIES_ORACLE,
         "pricing_summary": EQ.PRICING_ORACLE,
         "revenue_by_nation": EQ.REVENUE_NATION_ORACLE,
         "token_stats": EQ.TOKEN_STATS_ORACLE,

@@ -89,3 +89,46 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         *[F.when(within, F.col(f"_carry.{cc}")).alias(cc) for cc in carried],
     )
+
+
+def rolling_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    lookback: int = 20,
+    min_n: int = 10,
+    z: int = 3,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly flags over an ordered event stream:
+    an event is anomalous when its value deviates more than ``z`` population
+    standard deviations from the preceding ``lookback`` events' mean.
+
+    Exact integer formulation: values are scaled to integer centi-units, and
+    the test (x - mean)^2 > z^2 * sigma^2 is cleared of divisions to
+    ``(n*x - Sx)^2 > z^2 * (n*Sxx - Sx^2)`` — all int64, so the result is
+    bit-identical across engines (windowed FLOAT sums are not: DuckDB's
+    segment-tree association order differs from Spark's running frame).
+    One shuffle on the key; the frame never materializes past the two
+    running sums.
+    """
+    iv = F.round(F.col(value_col) * 100).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
+        .rowsBetween(-lookback, -1)
+    )
+    stats = events.select(
+        key_col, order_tiebreak, ts_col, value_col,
+        iv.alias("_iv"),
+        F.count("*").over(w).alias("_n"),
+        F.sum(iv).over(w).alias("_sx"),
+        F.sum(iv * iv).over(w).alias("_sxx"),
+    )
+    dev = F.col("_n") * F.col("_iv") - F.col("_sx")
+    var_num = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return (
+        stats.filter((F.col("_n") >= min_n) & (dev * dev > z * z * var_num))
+        .select(key_col, order_tiebreak, value_col, F.col("_n").alias("window_n"))
+    )

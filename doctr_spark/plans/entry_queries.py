@@ -2206,3 +2206,35 @@ FROM (VALUES
   (7010, 0, 117, 640)
 ) AS v(turn_key, page_idx, height, width)
 """
+
+
+def q_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomalies over the events stream (exact integer
+    formulation — bit-identical across engines where windowed float sums
+    are not)."""
+    from ..operators.relational import rolling_anomalies
+
+    ev = _read(spark, sf_dir, "events")
+    out = rolling_anomalies(ev, lookback=20, min_n=10, z=3)
+    return out.select("user_id", "event_id", "value", F.col("window_n").cast("long").alias("window_n"))
+
+
+ANOMALIES_ORACLE = """
+WITH scaled AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(round(value * 100) AS BIGINT) AS iv
+  FROM events
+),
+stats AS (
+  SELECT user_id, event_id, value, iv,
+         count(*) OVER w AS n,
+         sum(iv) OVER w AS sx,
+         sum(iv * iv) OVER w AS sxx
+  FROM scaled
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, value, CAST(n AS BIGINT) AS window_n
+FROM stats
+WHERE n >= 10 AND (n * iv - sx) * (n * iv - sx) > 9 * (n * sxx - sx * sx)
+"""

@@ -369,3 +369,22 @@ def test_pack_sequences_first_fit_decreasing_tighter(spark):
     assert ffd.count() == df.count()
     # this mix packs perfectly under FFD: 40 docs * 50 avg = 2000 tokens -> 20 packs
     assert n_ffd == 20
+
+
+def test_rolling_anomalies(spark):
+    from datetime import datetime, timedelta
+
+    from doctr_spark.operators.relational import rolling_anomalies
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        v = 10.0 if i != 25 else 500.0  # one wild outlier after warm-up
+        rows.append((i, 1, base + timedelta(minutes=i), v))
+    # second user: noisy but no outliers
+    for i in range(30):
+        rows.append((100 + i, 2, base + timedelta(minutes=i), 10.0 + (i % 5)))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    out = rolling_anomalies(df, lookback=20, min_n=10, z=3).collect()
+    assert [(r["user_id"], r["event_id"]) for r in out] == [(1, 25)]
+    assert out[0]["window_n"] == 20
