@@ -573,65 +573,16 @@ FROM (VALUES
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-checked queries. ORDER MATTERS: the driver's CORRECTNESS gate
+    checks the FIRST 50 dict entries only, so positions 0-21 hold the 22
+    queries that had no r02 driver row (round-2 additions + three rotated
+    out), new round-3 queries come next, and a representative green core
+    fills the rest of the 50-slot window. Entries past position 49 were all
+    driver-verified green in r01/r02 (see ROUND3.md coverage table) and
+    remain builder-checked via scripts/check_oracles.py every round."""
     return {
-        # --- extraction pipeline (flagship + components)
-        "extract_docs": _q_extract_docs,
-        "extract_ocr": _q_extract_ocr,
-        "conversation_docs": EQ.q_conversation_docs,
-        # --- kernel operators (reference-fixture goldens)
-        "merge_strings": EQ.q_merge_strings,
-        "ctc_decode": EQ.q_ctc_decode,
-        "html_strip": EQ.q_html_strip,
-        "reading_order": EQ.q_reading_order,
-        "resolve_lines": EQ.q_resolve_lines,
-        "detect_boxes": EQ.q_detect_boxes,
-        "render_joins": EQ.q_render_joins,
-        "split_crops": EQ.q_split_crops,
-        "kie_render": EQ.q_kie_render,
-        "kie_entities": EQ.q_kie_entities,
-        "orientation": EQ.q_orientation,
-        "hocr_export": EQ.q_hocr_export,
-        "translate_vocab": EQ.q_translate,
-        # --- relational builder analogues
-        "sort_key_rank": EQ.q_sort_key_rank,
-        "enclosing_bbox": EQ.q_enclosing_bbox,
-        "gap_sessionize": EQ.q_gap_sessionize,
-        "line_render": EQ.q_line_render,
-        "turn_order": EQ.q_turn_order,
-        "topk_per_group": EQ.q_topk_per_group,
-        "hourly_event_stats": EQ.q_hourly_event_stats,
-        "rollup_events": EQ.q_rollup_events,
-        "pivot_events": EQ.q_pivot_events,
-        "cube_events": EQ.q_cube_events,
-        "asof_join": EQ.q_asof_join,
-        "anomalies": EQ.q_anomalies,
-        "pricing_summary": EQ.q_pricing_summary,
-        "revenue_by_nation": EQ.q_revenue_by_nation,
-        "streaming_sessionize": _q_streaming_sessionize,
-        # --- text analysis / quality
-        "token_stats": EQ.q_token_stats,
-        "subword_tokens": EQ.q_subword_tokens,
-        "deterministic_sample": EQ.q_deterministic_sample,
-        "corpus_stats": EQ.q_corpus_stats,
-        "quality_filter": EQ.q_quality_filter,
-        "quality_score": EQ.q_quality_score,
-        "lang_id": EQ.q_lang_id,
-        "lang_id_conf": EQ.q_lang_id_conf,
-        "string_match": EQ.q_string_match,
-        "fingerprint": EQ.q_fingerprint,
-        # --- dedup
-        "exact_dedup": EQ.q_exact_dedup_summary,
-        "jaccard_pairs": EQ.q_jaccard_pairs,
-        "minhash_neardup": _q_minhash_neardup,
-        "simhash": _q_simhash,
-        "pack_sequences": _q_pack_sequences,
-        # --- similarity search
-        "knn_cosine": EQ.q_knn_cosine,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "emb_neardup": EQ.q_emb_neardup,
+        # --- positions 0-21: no driver CORRECTNESS row in r02 (driver cap)
         "emb_neardup_lsh": _q_emb_neardup_lsh,
-        # --- geometry metrics
         "polygon_iou": EQ.q_polygon_iou,
         "box_iou": EQ.q_box_iou,
         "nms": EQ.q_nms,
@@ -648,12 +599,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": EQ.q_chunk_windows,
         "stratified_sample": EQ.q_stratified_sample,
         "url_stats": EQ.q_url_stats,
-        # --- multimodal
         "bundle_metadata": _q_bundle_metadata,
         "image_neardup": EQ.q_image_neardup,
         "audio_rms": EQ.q_audio_rms,
         "pixel_stats": EQ.q_pixel_stats,
         "frame_sample": EQ.q_frame_sample,
+        # --- new round-3 queries (inserted here, inside the 50-slot window)
+        # --- representative green core (r02-verified, fills to position 49)
+        "extract_docs": _q_extract_docs,
+        "extract_ocr": _q_extract_ocr,
+        "conversation_docs": EQ.q_conversation_docs,
+        "merge_strings": EQ.q_merge_strings,
+        "ctc_decode": EQ.q_ctc_decode,
+        "html_strip": EQ.q_html_strip,
+        "reading_order": EQ.q_reading_order,
+        "resolve_lines": EQ.q_resolve_lines,
+        "detect_boxes": EQ.q_detect_boxes,
+        "orientation": EQ.q_orientation,
+        "hocr_export": EQ.q_hocr_export,
+        "translate_vocab": EQ.q_translate,
+        "sort_key_rank": EQ.q_sort_key_rank,
+        "gap_sessionize": EQ.q_gap_sessionize,
+        "streaming_sessionize": _q_streaming_sessionize,
+        "asof_join": EQ.q_asof_join,
+        "anomalies": EQ.q_anomalies,
+        "pricing_summary": EQ.q_pricing_summary,
+        "token_stats": EQ.q_token_stats,
+        "exact_dedup": EQ.q_exact_dedup_summary,
+        "minhash_neardup": _q_minhash_neardup,
+        "simhash": _q_simhash,
+        "pack_sequences": _q_pack_sequences,
+        "ann_lsh": _q_ann_lsh,
+        # --- past position 49: green in r01/r02, rotated out of the driver
+        # window this round; still builder-checked (check_oracles.py)
+        "render_joins": EQ.q_render_joins,
+        "split_crops": EQ.q_split_crops,
+        "kie_render": EQ.q_kie_render,
+        "kie_entities": EQ.q_kie_entities,
+        "enclosing_bbox": EQ.q_enclosing_bbox,
+        "line_render": EQ.q_line_render,
+        "turn_order": EQ.q_turn_order,
+        "topk_per_group": EQ.q_topk_per_group,
+        "hourly_event_stats": EQ.q_hourly_event_stats,
+        "rollup_events": EQ.q_rollup_events,
+        "pivot_events": EQ.q_pivot_events,
+        "cube_events": EQ.q_cube_events,
+        "revenue_by_nation": EQ.q_revenue_by_nation,
+        "subword_tokens": EQ.q_subword_tokens,
+        "deterministic_sample": EQ.q_deterministic_sample,
+        "corpus_stats": EQ.q_corpus_stats,
+        "quality_filter": EQ.q_quality_filter,
+        "quality_score": EQ.q_quality_score,
+        "lang_id": EQ.q_lang_id,
+        "lang_id_conf": EQ.q_lang_id_conf,
+        "string_match": EQ.q_string_match,
+        "fingerprint": EQ.q_fingerprint,
+        "jaccard_pairs": EQ.q_jaccard_pairs,
+        "knn_cosine": EQ.q_knn_cosine,
+        "ann_ivf": _q_ann_ivf,
+        "emb_neardup": EQ.q_emb_neardup,
     }
 
 
