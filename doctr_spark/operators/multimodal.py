@@ -40,7 +40,7 @@ def page_bundle_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFr
                         "n_bytes": m["n_bytes"],
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=["id", "n_pages", "scale", "heights", "widths", "n_bytes"])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=BUNDLE_META_SCHEMA)
 
@@ -68,7 +68,7 @@ def page_pixel_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                             "mean_intensity": float(img.mean()),
                         }
                     )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=["id", "page_idx", "height", "width", "ink_ratio", "mean_intensity"])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
 
@@ -85,7 +85,7 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str, every_k: int = 2)
                 for p_idx, (h, w) in enumerate(m["dims"]):
                     if p_idx % every_k == 0:
                         rows.append({"id": i, "page_idx": p_idx, "height": h, "width": w})
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=["id", "page_idx", "height", "width"])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema="id long, page_idx int, height int, width int")
 
@@ -139,7 +139,7 @@ def page_dhash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                     rows.append(
                         {"id": i, "page_idx": p_idx, "dhash": np.int64(np.uint64(dhash64(img)))}
                     )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=["id", "page_idx", "dhash"])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema="id long, page_idx int, dhash long")
 
@@ -172,7 +172,7 @@ def pcm_rms_windows(
                         {"id": i, "window_idx": widx, "n_samples": int(seg.size),
                          "rms": round(rms, 6)}
                     )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=["id", "window_idx", "n_samples", "rms"])
 
     return df.select(id_col, payload_col).mapInPandas(
         run, schema="id long, window_idx int, n_samples int, rms double"

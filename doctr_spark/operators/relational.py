@@ -107,13 +107,21 @@ def rolling_anomalies(
 
     Exact integer formulation: values are scaled to integer centi-units, and
     the test (x - mean)^2 > z^2 * sigma^2 is cleared of divisions to
-    ``(n*x - Sx)^2 > z^2 * (n*Sxx - Sx^2)`` — all int64, so the result is
+    ``(n*x - Sx)^2 > z^2 * (n*Sxx - Sx^2)`` — integer math, so the result is
     bit-identical across engines (windowed FLOAT sums are not: DuckDB's
     segment-tree association order differs from Spark's running frame).
     One shuffle on the key; the frame never materializes past the two
     running sums.
+
+    Overflow bound: products are computed in DECIMAL(38,0), exact while the
+    largest term ``(n*x - Sx)^2`` stays under 10^38 — i.e. |value| up to
+    ~5e15 at lookback 20 (vs ~7e6 had this stayed int64, where non-ANSI
+    Spark silently wraps). Past the bound the decimal product overflows to
+    NULL and the filter drops the row (flagged non-anomalous), never a
+    wrapped wrong answer.
     """
     iv = F.round(F.col(value_col) * 100).cast("long")
+    ivd = iv.cast("decimal(18,0)")
     w = (
         Window.partitionBy(key_col)
         .orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
@@ -121,14 +129,14 @@ def rolling_anomalies(
     )
     stats = events.select(
         key_col, order_tiebreak, ts_col, value_col,
-        iv.alias("_iv"),
-        F.count("*").over(w).alias("_n"),
-        F.sum(iv).over(w).alias("_sx"),
-        F.sum(iv * iv).over(w).alias("_sxx"),
+        ivd.alias("_iv"),
+        F.count("*").over(w).cast("decimal(20,0)").alias("_n"),
+        F.sum(ivd).over(w).alias("_sx"),
+        F.sum(ivd * ivd).over(w).alias("_sxx"),
     )
-    dev = F.col("_n") * F.col("_iv") - F.col("_sx")
-    var_num = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dev = (F.col("_n") * F.col("_iv") - F.col("_sx")).cast("decimal(38,0)")
+    var_num = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("decimal(38,0)")
     return (
         stats.filter((F.col("_n") >= min_n) & (dev * dev > z * z * var_num))
-        .select(key_col, order_tiebreak, value_col, F.col("_n").alias("window_n"))
+        .select(key_col, order_tiebreak, value_col, F.col("_n").cast("long").alias("window_n"))
     )

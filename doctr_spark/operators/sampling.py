@@ -73,14 +73,19 @@ def stratified_sample(
     return df.filter(pred)
 
 
+def _sql_quote(s: str) -> str:
+    """Escape a string for use inside a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
 def stratified_sample_sql(id_expr: str, strata_expr: str, rates: dict[str, float], default_rate: float = 0.0) -> str:
     """DuckDB twin of :func:`stratified_sample`'s predicate."""
     parts = [
-        f"({strata_expr} = '{s}' AND {sample_predicate_sql(id_expr, r)})"
+        f"({strata_expr} = '{_sql_quote(s)}' AND {sample_predicate_sql(id_expr, r)})"
         for s, r in sorted(rates.items())
     ]
     if default_rate > 0:
-        quoted = ", ".join(f"'{s}'" for s in rates)
+        quoted = ", ".join(f"'{_sql_quote(s)}'" for s in rates)
         parts.append(
             f"(({strata_expr} IS NULL OR {strata_expr} NOT IN ({quoted})) "
             f"AND {sample_predicate_sql(id_expr, default_rate)})"
