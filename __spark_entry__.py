@@ -237,14 +237,20 @@ def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctr_spark.operators.similarity import embedding_near_duplicates
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    exact = embedding_near_duplicates(emb, threshold=0.4, method="exact").select("id_a", "id_b")
+    n = emb.count()  # one shared action; both paths take n_rows explicitly
+    exact = embedding_near_duplicates(emb, threshold=0.4, method="exact", n_rows=n).select(
+        "id_a", "id_b", F.lit(1).alias("_e")
+    )
     lsh = embedding_near_duplicates(
-        emb, threshold=0.4, method="lsh", n_planes=None, dim=64, n_tables=4
-    ).select("id_a", "id_b")
-    return (
-        exact.agg(F.count("*").alias("n_exact"))
-        .crossJoin(lsh.agg(F.count("*").alias("n_lsh")))
-        .crossJoin(lsh.join(exact, ["id_a", "id_b"], "left_anti").agg(F.count("*").alias("n_false_pos")))
+        emb, threshold=0.4, method="lsh", n_planes=None, dim=64, n_tables=4, n_rows=n
+    ).select("id_a", "id_b", F.lit(1).alias("_l"))
+    # one full-outer join -> one aggregation: each path evaluates exactly
+    # once (the previous 3-agg cross-join re-ran the exact twin twice)
+    both = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.sum(F.coalesce(F.col("_e"), F.lit(0))).alias("n_exact"),
+        F.sum(F.coalesce(F.col("_l"), F.lit(0))).alias("n_lsh"),
+        F.sum(F.when(F.col("_e").isNull() & F.col("_l").isNotNull(), 1).otherwise(0)).alias("n_false_pos"),
     )
 
 

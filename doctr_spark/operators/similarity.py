@@ -103,14 +103,17 @@ def planes_for_corpus(n_rows: int, target_bucket_rows: int = 16, lo: int = 4, hi
     return max(lo, min(hi, math.ceil(math.log2(max(n_rows / target_bucket_rows, 2.0)))))
 
 
-def _resolve_planes(n_planes, corpus: DataFrame, target_bucket_rows: int) -> int:
+def _resolve_planes(n_planes, corpus: DataFrame, target_bucket_rows: int, n_rows: int | None = None) -> int:
     """``n_planes=None`` -> derive from the corpus row count and log the
-    implied occupancy so a mis-sized index is visible in executor logs."""
+    implied occupancy so a mis-sized index is visible in executor logs.
+    Pass ``n_rows`` when the caller already knows the count (table stats, a
+    prior action) — avoids firing an extra count() job per operator call."""
     import logging
 
     if n_planes is not None:
         return n_planes
-    n_rows = corpus.count()
+    if n_rows is None:
+        n_rows = corpus.count()
     p = planes_for_corpus(n_rows, target_bucket_rows)
     logging.getLogger(__name__).info(
         "lsh auto-sizing: n_rows=%d -> n_planes=%d (expected occupancy %.1f rows/bucket, target %d)",
@@ -165,6 +168,7 @@ def embedding_near_duplicates(
     dim: int = 64,
     n_tables: int = 4,
     target_bucket_rows: int = 16,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ``(id_a < id_b, sim >= threshold)``.
 
@@ -182,7 +186,7 @@ def embedding_near_duplicates(
     bucket occupancy stays ~``target_bucket_rows`` at any scale.
     """
     if method == "exact":
-        return _exact_pairs_blocked(corpus, id_col, vec_col, threshold)
+        return _exact_pairs_blocked(corpus, id_col, vec_col, threshold, n_rows=n_rows)
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if method == "lsh":
@@ -193,7 +197,7 @@ def embedding_near_duplicates(
         # times (the posexplode copies) but never the dedupe exchange. A
         # pair colliding in k tables is scored k times (cheap matmul) but
         # survives the dedupe once.
-        n_planes = _resolve_planes(n_planes, corpus, target_bucket_rows)
+        n_planes = _resolve_planes(n_planes, corpus, target_bucket_rows, n_rows=n_rows)
         stack = np.stack([hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)])
         at = a.select("id_a", "va", F.posexplode(lsh_multi_signature_col(F.col("va"), stack)).alias("tbl", "bucket"))
         bt = b.select("id_b", "vb", F.posexplode(lsh_multi_signature_col(F.col("vb"), stack)).alias("tbl", "bucket"))
@@ -216,6 +220,7 @@ def _exact_pairs_blocked(
     block_rows: int = 1024,
     n_blocks: int | None = None,
     decimals: int = 6,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine >= threshold via blocked matrix products.
 
@@ -227,7 +232,7 @@ def _exact_pairs_blocked(
     block_rows x dim floats), never the N^2 pair rows a row-level join
     would materialize; compute is one BLAS call per tile instead of
     millions of per-pair kernel invocations."""
-    n = corpus.count()  # prunes to the id column; sizes the block count
+    n = n_rows if n_rows is not None else corpus.count()  # sizes the block count
     if n_blocks is None:
         n_blocks = max(1, -(-n // block_rows))
     id_type = corpus.schema[id_col].dataType.simpleString()
@@ -236,12 +241,18 @@ def _exact_pairs_blocked(
         F.col(vec_col).alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
-    # checkpoint: the block aggregation feeds BOTH sides of the self-join
-    # below — without it the groupBy/collect_list runs twice
+    # the block aggregation feeds BOTH sides of the self-join below; for a
+    # handful of blocks Spark's ReusedExchange dedupes the shuffle and the
+    # post-shuffle agg recompute is trivial, so skip the checkpoint (it is
+    # an eager extra job — visible latency when the scheduler is loaded);
+    # for many blocks pin the result once so the wide collect_list agg
+    # cannot run twice
     blocks = src.groupBy("blk").agg(
         F.collect_list("id").alias("ids"),
         F.collect_list("v").alias("vecs"),
-    ).localCheckpoint()
+    )
+    if n_blocks > 8:
+        blocks = blocks.localCheckpoint()
     pairs = (
         blocks.alias("x")
         .join(blocks.alias("y"), F.col("x.blk") <= F.col("y.blk"))
@@ -375,6 +386,7 @@ def ann_lsh_topk(
     dim: int = 64,
     n_tables: int = 2,
     target_bucket_rows: int = 16,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only corpus rows sharing an LSH bucket with
     the query in any of ``n_tables`` independent tables, then exact cosine
@@ -384,7 +396,7 @@ def ann_lsh_topk(
     # (tbl, bucket); score map-side, dedupe slim (query, neighbor, sim)
     # triples — vectors cross the bucket exchange n_tables times (posexplode
     # copies) but never the dedupe exchange
-    n_planes = _resolve_planes(n_planes, corpus, target_bucket_rows)
+    n_planes = _resolve_planes(n_planes, corpus, target_bucket_rows, n_rows=n_rows)
     stack = np.stack([hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
