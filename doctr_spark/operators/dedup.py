@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import zlib
 from collections.abc import Iterator
+from itertools import combinations
 
 import numpy as np
 import pandas as pd
@@ -304,26 +305,52 @@ def simhash_chunk_cols(hash_col, n_chunks: int) -> list:
     return cols
 
 
-def simhash_near_duplicates(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance <= max_hamming with pigeonhole
-    blocking: the 64 bits split into ``max_hamming + 1`` chunks, candidates
-    must agree exactly on >= 1 chunk. Any pair at distance <= max_hamming
-    has at most max_hamming differing bits, so some chunk holds none of
-    them — **recall is 1.0 by construction** (unlike prefix blocking, which
-    misses pairs whose flipped bits land in the prefix). Each chunk join
-    shuffles only (id, simhash) pairs keyed on ~64/(h+1)-bit values; exact
-    ``bit_count(xor)`` re-checks every candidate, then a slim
-    (id_a, id_b, hamming) dedupe collapses multi-chunk collisions.
+def simhash_near_duplicates(
+    hashes: DataFrame, max_hamming: int = 3, n_blocks: int | None = None
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= ``max_hamming``, blocked
+    Manku-style (Manku/Jain/Sarma, WWW'07 — multi-block permutation
+    tables): the 64 bits split into ``n_blocks`` contiguous blocks
+    (default ``max_hamming + 3``) and the join key for each candidate
+    combination is the hash of a FULL ``n_blocks - max_hamming``-block
+    subset. A pair within distance d has flipped bits in at most d blocks,
+    so at least ``n_blocks - d`` blocks agree exactly, and some enumerated
+    subset is drawn entirely from them — **recall 1.0 by construction**.
+
+    Why not one-block keys (the round-2 version): a single 64/(d+1)-bit
+    chunk has only ~2^16 distinct values at d=3, so bucket size grows
+    linearly with the corpus and the within-bucket self-join goes quadratic
+    at 10^9+ rows. A 3-block subset key carries ~32 bits of entropy
+    (xxhash64 over the block values; collisions only add candidates, and
+    the exact ``bit_count(xor)`` re-check removes them), so expected
+    occupancy is n/2^32 — worst case, a bucket holds exactly the documents
+    agreeing on 32+ specific bits, which at near-dup thresholds are
+    overwhelmingly true positives. Cost: C(n_blocks, d) explode copies per
+    row (20 at d=3) of slim (id, hash, combo, key) rows — linear shuffle
+    volume in exchange for the quadratic bucket fix.
     """
-    n_chunks = max_hamming + 1
-    blocked = hashes.select(
-        "id",
-        "simhash",
-        F.posexplode(F.array(*simhash_chunk_cols(F.col("simhash"), n_chunks))).alias("chunk", "val"),
-    )
+    if max_hamming == 0:
+        # exact-hash dedupe: plain self-equi-join on the full 64-bit key
+        return (
+            hashes.alias("x")
+            .join(hashes.alias("y"), "simhash")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), F.lit(0).alias("hamming"))
+        )
+    if n_blocks is None:
+        n_blocks = max_hamming + 3
+    if n_blocks <= max_hamming:
+        raise ValueError(f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming})")
+    m = n_blocks - max_hamming  # blocks per key
+    chunks = simhash_chunk_cols(F.col("simhash"), n_blocks)
+    keys = [
+        F.xxhash64(F.lit(ci), *[chunks[i] for i in combo])
+        for ci, combo in enumerate(combinations(range(n_blocks), m))
+    ]
+    blocked = hashes.select("id", "simhash", F.posexplode(F.array(*keys)).alias("combo", "key"))
     return (
         blocked.alias("x")
-        .join(blocked.alias("y"), ["chunk", "val"])
+        .join(blocked.alias("y"), ["combo", "key"])
         .filter(F.col("x.id") < F.col("y.id"))
         .withColumn("hamming", F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))))
         .filter(F.col("hamming") <= max_hamming)
