@@ -261,6 +261,58 @@ def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tiny_conv_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused OCR extraction through the pluggable model seam with a REAL
+    weights file: detector = 2-layer sigmoid-conv net, recognizer =
+    matched-filter conv + shared CTC decode, both numpy forwards over
+    weights committed at doctr_spark/models_data/tiny_conv_v1.npz and
+    loaded once per worker via resolve_model — the non-default-model path
+    the ONNX factories use (reference detection/zoo.py:59-71,
+    recognition/zoo.py:41-52). The oracle invariant is n_exact == n_turns:
+    per-turn text equality with turn/page counts pinned by the
+    deterministic generator."""
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.plans.tiny_conv import tiny_conv_detector, tiny_conv_recognizer
+    from doctr_spark.sources.corpus import make_transcripts
+
+    gen = make_transcripts(spark, 10, partitions=2, ocr_ratio=1.0, html_ratio=0.0)
+    out = extract_turns(
+        gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+        detector=tiny_conv_detector(),
+        recognizer=tiny_conv_recognizer(),
+    )
+    matched = out.join(
+        gen.select("conv_id", "turn_idx", "expected_text"), ["conv_id", "turn_idx"]
+    ).withColumn("exact_match", (F.col("extracted_text") == F.col("expected_text")).cast("long"))
+    return matched.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("exact_match").alias("n_exact"),
+        F.sum("n_pages").cast("long").alias("n_pages"),
+    )
+
+
+_TINY_CONV_OCR_ORACLE = """
+-- per-conversation turn/page counts pinned by the deterministic generator
+-- (identical to the first 10 convs of the extract_ocr fixture); the
+-- invariant under test is n_exact == n_turns through the REAL-WEIGHTS
+-- tiny-conv model pair (non-default models via the pluggable seam)
+SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_exact AS BIGINT) AS n_exact, CAST(n_pages AS BIGINT) AS n_pages
+FROM (VALUES
+  ('conv-000000', 12, 12, 17),
+  ('conv-000001', 3, 3, 4),
+  ('conv-000002', 13, 13, 18),
+  ('conv-000003', 13, 13, 18),
+  ('conv-000004', 9, 9, 15),
+  ('conv-000005', 12, 12, 13),
+  ('conv-000006', 14, 14, 19),
+  ('conv-000007', 11, 11, 18),
+  ('conv-000008', 13, 13, 23),
+  ('conv-000009', 4, 4, 5)
+) AS v(conv_id, n_turns, n_exact, n_pages)
+"""
+
+
 def _q_bundle_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary page-bundle metadata extraction (multimodal opaque-bytes
     path), keyed by (conv_id, turn_idx) and flattened to CSV strings so the
@@ -621,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_stats": EQ.q_pixel_stats,
         "frame_sample": EQ.q_frame_sample,
         # --- new round-3 queries (inserted here, inside the 50-slot window)
+        "tiny_conv_ocr": _q_tiny_conv_ocr,
         # --- representative green core (r02-verified, fills to position 49)
         "extract_docs": _q_extract_docs,
         "extract_ocr": _q_extract_ocr,
@@ -741,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
         "pixel_stats": EQ.PIXEL_STATS_ORACLE,
         "frame_sample": EQ.FRAME_SAMPLE_ORACLE,
         "ocr_quality": _OCR_QUALITY_ORACLE,
+        "tiny_conv_ocr": _TINY_CONV_OCR_ORACLE,
         "detection_metric": EQ.DETECTION_METRIC_ORACLE,
         "ocr_metric": EQ.OCR_METRIC_ORACLE,
         "pii_scrub": EQ.PII_ORACLE,
