@@ -67,6 +67,7 @@ def extract_turn_ocr(
     detector=None,
     recognizer=None,
     orienter=None,
+    straighten_pages: bool = False,
 ) -> tuple[str, int, int, int, float, list[dict], list[dict]]:
     """Decode a page bundle and run [orient ->] detect -> [hooks ->] crop ->
     recognize -> build per page.
@@ -88,7 +89,8 @@ def extract_turn_ocr(
     """
     pages, scale = decode_page_bundle(bundle)
     return extract_pages_ocr(
-        pages, scale, detect_orientation, detection_hooks, detector, recognizer, orienter
+        pages, scale, detect_orientation, detection_hooks, detector, recognizer, orienter,
+        straighten_pages=straighten_pages,
     )
 
 
@@ -100,11 +102,24 @@ def extract_pages_ocr(
     detector=None,
     recognizer=None,
     orienter=None,
+    straighten_pages: bool = False,
+    straighten_min_angle: float = 1.0,
 ) -> tuple[str, int, int, int, float, list[dict], list[dict]]:
     """OCR chain over already-decoded grayscale pages (the shared core of
     the bundle / PDF / image payload routes). ``orienter`` follows the
     OrientationPredictor contract ((page, scale) -> quarter turns); like
-    detector/recognizer it is a pluggable model instance."""
+    detector/recognizer it is a pluggable model instance.
+
+    ``straighten_pages`` mirrors the reference's non-straight path
+    (models/predictor/base.py:91-113, predictor/pytorch.py:97-103): the
+    fine skew angle is estimated from the page's merged text-line
+    geometry (the seg-map analog of the first detection pass), the page
+    is rotated by that float angle when it exceeds ``straighten_min_angle``
+    degrees, and detection runs on the straightened page — the second
+    pass. Geometry recovery is golden-tested; note that with the
+    deterministic glyph-matcher recognizer, resampled glyphs decode
+    exactly only when the cell grid survives (quarter turns); a real CRNN
+    through the model seam is the tolerant path for float skews."""
     if detector is None:
         detector = resolve_model(*DEFAULT_DETECTOR)
     if recognizer is None:
@@ -122,6 +137,12 @@ def extract_pages_ocr(
             from ..operators.orientation import rotate_page
 
             img = rotate_page(img, orienter(img, scale))
+        if straighten_pages:
+            from ..operators.orientation import estimate_skew_angle, rotate_page_float
+
+            angle = estimate_skew_angle(img, scale)
+            if abs(angle) >= straighten_min_angle:
+                img = rotate_page_float(img, angle)
         boxes = detector(img, scale)
         for hook in detection_hooks or ():
             boxes = hook(boxes)
@@ -174,6 +195,7 @@ def _extract_batch(
     recognizer=None,
     orienter=None,
     error_policy: str = "capture",
+    straighten_pages: bool = False,
 ) -> pd.DataFrame:
     out_rows = []
     for conv_id, turn_idx, role, text, tool, ts in zip(
@@ -186,7 +208,8 @@ def _extract_batch(
         n_pages, n_boxes, n_artefacts, min_conf, strip_ratio = 0, 0, 0, 1.0, 1.0
         try:
             kind, extracted = _route_turn(
-                payload, text, detect_orientation, detector, recognizer, orienter
+                payload, text, detect_orientation, detector, recognizer, orienter,
+                straighten_pages=straighten_pages,
             )
         except Exception as exc:  # noqa: BLE001 — per-turn quarantine
             # a corrupt payload must not kill a 10^12-turn job: quarantine
@@ -215,13 +238,14 @@ def _extract_batch(
     return pd.DataFrame(out_rows, columns=_ROW_COLUMNS)
 
 
-def _route_turn(payload, text, detect_orientation, detector, recognizer, orienter=None):
+def _route_turn(payload, text, detect_orientation, detector, recognizer, orienter=None, straighten_pages=False):
     """Dispatch one turn by payload kind; returns (kind, result) where the
     'ocr' result is the extract tuple and html/plain results are text."""
     if payload is not None and payload[0] == "page_bundle":
         return "ocr", extract_turn_ocr(
             payload[1], detect_orientation,
             detector=detector, recognizer=recognizer, orienter=orienter,
+            straighten_pages=straighten_pages,
         )
     if payload is not None and payload[0] in ("pdf", "image"):
         # real-world payloads: rasterize/decode (env-gated libs), fold
@@ -239,6 +263,7 @@ def _route_turn(payload, text, detect_orientation, detector, recognizer, oriente
             detector=detector,
             recognizer=recognizer,
             orienter=orienter,
+            straighten_pages=straighten_pages,
         )
     if text and looks_like_html(text):
         return "html", extract_main_text(text)
@@ -295,6 +320,7 @@ def extract_turns(
     recognizer: ModelLoader | None = None,
     orienter: ModelLoader | None = None,
     error_policy: str = "capture",
+    straighten_pages: bool = False,
 ) -> DataFrame:
     """Fused extraction over a transcript DataFrame.
 
@@ -312,6 +338,9 @@ def extract_turns(
     failures as payload_kind='error' rows with the message in the ``error``
     column — one corrupt payload in 10^12 turns must not fail the job;
     'raise' propagates (strict/debug).
+    ``straighten_pages``: estimate each page's float skew angle from its
+    merged line geometry and re-run detection on the de-skewed page
+    (reference predictor straighten_pages path; see extract_pages_ocr).
     """
     src = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     if salt_partitions:
@@ -329,6 +358,7 @@ def extract_turns(
                 yield _extract_batch(
                     pdf, detect_orientation, detector=det, recognizer=rec,
                     orienter=ori, error_policy=error_policy,
+                    straighten_pages=straighten_pages,
                 )
 
     return src.mapInPandas(run, schema=EXTRACT_SCHEMA)

@@ -306,3 +306,76 @@ def test_kie_entity_classes():
     kie = build_kie_page(boxes, ["a@b.io", "2026-08-17", "PAY"])
     assert set(kie) == {"email", "date", "word"}
     assert render_kie_page(kie) == "date: 2026-08-17\n\nemail: a@b.io\n\nword: PAY"
+
+
+# --------------------------- arbitrary-angle skew (straighten_pages path)
+
+
+def test_estimate_skew_angle_goldens():
+    """Contour-path fine-angle estimator recovers known skews within 0.2
+    degrees across the supported range (reference models/_utils.py:32-114
+    semantics: threshold -> dilate-merge -> line contours -> median)."""
+    from doctr_spark.operators.orientation import estimate_skew_angle, rotate_page_float
+
+    img, _ = font.render_page(
+        ["HELLO", "WORLD", "SPARK", "GRAFT", "ALPHA", "BRAVO", "DELTA", "ECHO"], scale=3
+    )
+    for s in (-12, -8, -3, 3, 7, 12):
+        est = estimate_skew_angle(rotate_page_float(img, s), 3)
+        assert abs(est - (-s)) < 0.2, (s, est)
+    assert estimate_skew_angle(img, 3) == 0.0
+
+
+def test_straighten_pages_recovers_geometry():
+    """Float-skewed page through the straighten_pages second-pass path:
+    detection recovers the exact word-box structure (count, line grouping,
+    per-word glyph counts). Glyph identity after two nearest-neighbor
+    resamples is out of reach for the exact glyph matcher by design — a
+    resample-tolerant recognizer (real CRNN via the model seam) is the
+    production path, so the golden pins the structure, not the chars."""
+    from doctr_spark.operators.orientation import rotate_page_float
+    from doctr_spark.plans.pipeline import extract_pages_ocr
+
+    words = ["HELLO", "WORLD", "SPARK", "GRAFT", "ALPHA", "BRAVO", "DELTA", "ECHO"]
+    img, _ = font.render_page(words, scale=3)
+    base = extract_pages_ocr([img], 3)
+    assert base[0] == "HELLO WORLD SPARK GRAFT ALPHA\nBRAVO DELTA ECHO"
+    for s in (-8, 5, 12):
+        skewed = rotate_page_float(img, s)
+        fixed = extract_pages_ocr([skewed], 3, straighten_pages=True)
+        # same box count as the upright baseline...
+        assert fixed[2] == base[2], (s, fixed[2], base[2])
+        # ...and the same text structure: line count, words per line,
+        # chars per word (the unknown glyph marker has length 1)
+        def shape(text):
+            return [[len(w) for w in line.split(" ")] for line in text.split("\n")]
+
+        assert shape(fixed[0]) == shape(base[0]), (s, fixed[0])
+
+
+def test_straighten_pages_noop_on_straight_input():
+    """The flag must not perturb already-straight pages: output is
+    byte-identical with and without straighten_pages (angle gate)."""
+    from doctr_spark.plans.pipeline import extract_pages_ocr
+
+    img, _ = font.render_page(["UPRIGHT", "PAGE", "STAYS", "EXACT"], scale=3)
+    assert extract_pages_ocr([img], 3, straighten_pages=True) == extract_pages_ocr([img], 3)
+
+
+def test_estimate_orientation_combined_quarter_turns():
+    """Combined classifier+contour estimator on pure quarter turns: the
+    returned angle uprights the page (rotate_page_float round trip
+    reproduces the upright render exactly for k*90 angles)."""
+    from doctr_spark.operators.orientation import (
+        estimate_orientation_combined,
+        rotate_page_float,
+    )
+
+    img, _ = font.render_page("THE QUICK BROWN FOX JUMPS OVER".split(), scale=3)
+    for k in range(4):
+        rotated = np.rot90(img, k)
+        total = estimate_orientation_combined(rotated, 3)
+        assert total % 90 == 0
+        restored = rotate_page_float(rotated, total)
+        assert restored.shape == img.shape
+        assert np.array_equal(restored, img), k
