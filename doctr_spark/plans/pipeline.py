@@ -52,10 +52,16 @@ EXTRACT_SCHEMA = (
     "error string"
 )
 
-# a detected region whose raw-ink fill exceeds this is a non-text artefact
-# (words fill ~10% of their expanded box; solid blocks ~40-60%) — the
-# deterministic stand-in for the reference's ONNX ArtefactDetector plugin
-ARTEFACT_FILL_THRESH = 0.3
+# a detected region is a non-text artefact when the ink fill of its
+# TRIMMED ink bbox exceeds the threshold AND the region is larger than a
+# couple of glyphs: measured over the OCR bank, word crops trim to <= 0.39
+# fill while bar/QR/halftone patterns sit at >= 0.5 and solids at 1.0;
+# the area floor (in font cells, x scale^2 px) keeps single dense glyphs
+# ('#' trims to 0.57) on the text path. Typed classification of gated
+# regions lives in operators/artefacts.py (the deterministic stand-in for
+# the reference's ONNX ArtefactDetector plugin, contrib/artefacts.py).
+ARTEFACT_FILL_THRESH = 0.45
+ARTEFACT_MIN_AREA_CELLS = 100
 
 PAGE_SEP = "\n\n\n\n"
 
@@ -154,13 +160,23 @@ def extract_pages_ocr(
         for i, c in enumerate(crops):
             if c.size == 0:
                 continue
-            fill = float((c < 128).mean())
-            if fill > ARTEFACT_FILL_THRESH:
+            c_ink = c < 128
+            t_ys, t_xs = np.nonzero(c_ink)
+            if t_ys.size:
+                trimmed = c_ink[t_ys.min() : t_ys.max() + 1, t_xs.min() : t_xs.max() + 1]
+                fill = float(trimmed.mean())
+                big = trimmed.size > ARTEFACT_MIN_AREA_CELLS * scale * scale
+            else:
+                fill, big = 0.0, False
+            if fill > ARTEFACT_FILL_THRESH and big:
+                from ..operators.artefacts import classify_artefact
+
+                a_type, a_conf = classify_artefact(c)
                 n_artefacts += 1
                 artefacts_out.append(
                     {
-                        "type": "block",
-                        "confidence": round(fill, 6),
+                        "type": a_type,
+                        "confidence": a_conf,
                         "xmin": float(boxes[i, 0]),
                         "ymin": float(boxes[i, 1]),
                         "xmax": float(boxes[i, 2]),

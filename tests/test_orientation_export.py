@@ -379,3 +379,43 @@ def test_estimate_orientation_combined_quarter_turns():
         restored = rotate_page_float(rotated, total)
         assert restored.shape == img.shape
         assert np.array_equal(restored, img), k
+
+
+def test_artefact_taxonomy_end_to_end():
+    """Typed artefact classes (reference contrib/artefacts.py labels:
+    bar_code / qr_code / photo, with block as the solid fallback) flow
+    detector -> classify -> pipeline artefact nodes -> [TYPE] render:
+    a page with text plus three artefact patterns yields one typed node
+    each, none of which leak into the extracted text."""
+    from doctr_spark.functions.export import artefact_render
+    from doctr_spark.plans.pipeline import extract_pages_ocr
+
+    img, _ = font.render_page(["SOME", "TEXT"], scale=3)
+    h, w = img.shape
+    clear = 27  # 9s clearance: vertical fusing never bridges regions
+    bar = np.zeros((30, 96), bool)
+    for x in range(0, 96, 6):
+        bar[:, x : x + 3] = True
+    yy, xx = np.indices((36, 72))
+    qr = (yy // 6 + xx // 6) % 2 == 0
+    ht = np.indices((36, 72)).sum(0) % 2 == 0
+    blocks = [bar, qr, ht]
+    total_h = h + sum(clear + b.shape[0] for b in blocks) + 24
+    page = np.full((total_h, w), 255, dtype=np.uint8)
+    page[:h] = img
+    y = h
+    for b in blocks:
+        y += clear
+        page[y : y + b.shape[0], 24 : 24 + b.shape[1]][b] = 0
+        y += b.shape[0]
+
+    text, _, n_boxes, n_artefacts, _, words, artefacts = extract_pages_ocr([page], 3)
+    assert text == "SOME TEXT"  # artefacts never contribute to the render
+    assert n_artefacts == 3
+    assert [a["type"] for a in sorted(artefacts, key=lambda a: a["ymin"])] == [
+        "bar_code",
+        "qr_code",
+        "photo",
+    ]
+    assert artefact_render("bar_code") == "[BAR_CODE]"
+    assert all(0.0 < a["confidence"] <= 1.0 for a in artefacts)
