@@ -171,18 +171,22 @@ def scaling_run(corpus_dir: str, cores: int, repeat: int | None = None) -> float
         spark.stop()
 
 
-def _busyloop_scaling(levels: list[int]) -> dict[int, float]:
-    """Pure-CPU multiprocessing throughput at each parallelism level — the
-    hardware's own scaling ceiling on this box (frequency scaling under
-    all-core load caps even a trivial busy loop)."""
+def _busyloop_scaling(levels: list[int], fn=None, n: int = 4_000_000) -> dict[int, float]:
+    """Multiprocessing throughput of a reference kernel at each parallelism
+    level — this box's own scaling ceiling for that kernel's resource mix.
+    Two ceilings matter: the pure-CPU busy loop (frequency scaling under
+    all-core load) and the page-shaped numpy kernel (adds the DRAM
+    bandwidth the real extraction UDF consumes — shared across all cores
+    of this socket, unlike a real multi-node cluster)."""
     from multiprocessing import Pool
 
+    fn = fn or _burn
     out = {}
     for nproc in levels:
         with Pool(nproc) as p:
-            p.map(_burn, [200_000] * nproc)  # warm
+            p.map(fn, [max(1, n // 20)] * nproc)  # warm
             t0 = time.time()
-            p.map(_burn, [4_000_000] * nproc * 4)
+            p.map(fn, [n] * nproc * 4)
             out[nproc] = nproc * 4 / (time.time() - t0)
     return out
 
@@ -191,6 +195,21 @@ def _burn(n: int) -> int:
     s = 0
     for i in range(n):
         s += i * i
+    return s
+
+
+def _burn_page(n: int) -> int:
+    """Page-shaped kernel: the uint8-mask + int16-cumsum passes the
+    extraction UDF's detector actually runs, sized like one page."""
+    import numpy as np
+
+    img = np.full((165, 640), 255, dtype=np.uint8)
+    img[30:60, 100:400] = 0
+    s = 0
+    for _ in range(n):
+        ink = (img < 128).astype(np.uint8)
+        c = np.cumsum(np.pad(ink, ((5, 4), (0, 0))), axis=0, dtype=np.int16)
+        s += int(c[-1].sum())
     return s
 
 
@@ -226,10 +245,12 @@ def main() -> None:
             for c in levels:
                 tps[c] = max(tps[c], scaling_run(corpus_dir, c))
         ceiling = _busyloop_scaling(levels)
+        page_ceiling = _busyloop_scaling(levels, fn=_burn_page, n=400)
         pairs = []
         for lo, hi in zip(levels, levels[1:]):
             eff = (tps[hi] / tps[lo]) / (hi / lo)
             ceil_eff = (ceiling[hi] / ceiling[lo]) / (hi / lo)
+            page_eff = (page_ceiling[hi] / page_ceiling[lo]) / (hi / lo)
             pairs.append(
                 {
                     "cores_lo": lo,
@@ -239,6 +260,11 @@ def main() -> None:
                     "efficiency": round(eff, 3),
                     "hw_ceiling_efficiency": round(ceil_eff, 3),
                     "efficiency_vs_ceiling": round(eff / ceil_eff, 3),
+                    # page-shaped numpy ceiling: adds the shared-socket DRAM
+                    # bandwidth the extraction kernel actually consumes —
+                    # the honest ceiling for this workload on one box
+                    "page_ceiling_efficiency": round(page_eff, 3),
+                    "efficiency_vs_page_ceiling": round(eff / page_eff, 3),
                 }
             )
         result["scaling"] = {
