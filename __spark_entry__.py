@@ -313,6 +313,144 @@ FROM (VALUES
 """
 
 
+def _q_artefact_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed artefact taxonomy through the fused pipeline, distributed:
+    12 single-turn transcripts each carry a rendered page with a text line
+    plus one artefact pattern (bar code stripes / QR module grid / 1px
+    halftone / solid block, cycling), extraction classifies them
+    (operators/artefacts.py — reference contrib/artefacts.py labels), and
+    the result aggregates artefact counts per class alongside the
+    text-equality count proving artefacts never pollute the render."""
+    from doctr_spark.plans.pipeline import extract_turns
+
+    def gen(batches):
+        import datetime as dt
+
+        import numpy as np
+        import pandas as pd
+
+        from doctr_spark.sources.font import render_page
+        from doctr_spark.sources.payloads import encode_page_bundle, tool_envelope
+
+        for pdf in batches:
+            rows = []
+            for raw in pdf["id"].tolist():
+                i = int(raw)
+                img, _ = render_page(["ALPHA", "BRAVO"], scale=3)
+                h, w = img.shape
+                size = 24 + 6 * (i // 4)  # vary region size per row
+                if i % 4 == 0:  # bar code: 3px stripes
+                    pat = np.zeros((size, 96), bool)
+                    for x in range(0, 96, 6):
+                        pat[:, x : x + 3] = True
+                elif i % 4 == 1:  # qr: 6px module checker
+                    yy, xx = np.indices((size, 72))
+                    pat = (yy // 6 + xx // 6) % 2 == 0
+                elif i % 4 == 2:  # halftone: 1px checker
+                    pat = np.indices((size, 72)).sum(0) % 2 == 0
+                else:  # solid block
+                    pat = np.ones((size, 72), bool)
+                page = np.full((h + 27 + pat.shape[0] + 12, w), 255, dtype=np.uint8)
+                page[:h] = img
+                page[h + 27 : h + 27 + pat.shape[0], 24 : 24 + pat.shape[1]][pat] = 0
+                rows.append(
+                    {
+                        "conv_id": f"art-{i:04d}",
+                        "turn_idx": 0,
+                        "role": "user",
+                        "text": "[attachment: 1 page(s)]",
+                        "tool": tool_envelope("page_bundle", encode_page_bundle([page], 3)),
+                        "ts": dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc),
+                    }
+                )
+            out = pd.DataFrame(rows)
+            out["ts"] = pd.to_datetime(out["ts"], utc=True)
+            yield out
+
+    src = spark.range(0, 12, 1, 4).mapInPandas(
+        gen, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = extract_turns(src)
+    n_text_exact = out.agg(
+        F.sum((F.col("extracted_text") == "ALPHA BRAVO").cast("long")).alias("n_text_exact")
+    )
+    return (
+        out.select(F.explode("artefacts").alias("a"))
+        .groupBy(F.col("a.type").alias("artefact_type"))
+        .agg(F.count("*").alias("n_artefacts"))
+        .crossJoin(n_text_exact)
+    )
+
+
+_ARTEFACT_CLASSES_ORACLE = """
+-- 12 generated pages cycle bar/qr/halftone/solid artefact patterns (3
+-- each); the pipeline must type every one correctly AND keep all 12
+-- text renders exactly 'ALPHA BRAVO' (artefacts never pollute the text)
+SELECT artefact_type, CAST(n_artefacts AS BIGINT) AS n_artefacts,
+       CAST(n_text_exact AS BIGINT) AS n_text_exact
+FROM (VALUES
+  ('bar_code', 3, 12),
+  ('block', 3, 12),
+  ('photo', 3, 12),
+  ('qr_code', 3, 12)
+) AS v(artefact_type, n_artefacts, n_text_exact)
+"""
+
+
+def _q_skew_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour-path skew estimation (reference models/_utils.py:32-114
+    analog), distributed: each task renders a page, rotates it by a known
+    float angle, and estimates the uprighting angle; the oracle pins the
+    rounded estimates and asserts the |error| <= 0.2 degree invariant."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from doctr_spark.operators.orientation import estimate_skew_angle, rotate_page_float
+        from doctr_spark.sources.font import render_page
+
+        skews = (-12, -8, -5, -3, 3, 5, 8, 12)
+        words = ["HELLO", "WORLD", "SPARK", "GRAFT", "ALPHA", "BRAVO", "DELTA", "ECHO"]
+        for pdf in batches:
+            rows = []
+            for raw in pdf["id"].tolist():
+                i = int(raw)
+                s = skews[i]
+                img, _ = render_page(words, scale=3)
+                est = estimate_skew_angle(rotate_page_float(img, s), 3)
+                rows.append(
+                    {
+                        "skew_id": i,
+                        "true_skew": s,
+                        "est_angle": round(est, 2),
+                        "within_tol": abs(est + s) <= 0.2,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["skew_id", "true_skew", "est_angle", "within_tol"])
+
+    return spark.range(0, 8, 1, 4).mapInPandas(
+        gen, schema="skew_id long, true_skew long, est_angle double, within_tol boolean"
+    )
+
+
+_SKEW_ANGLE_ORACLE = """
+-- known float skews vs the contour-path estimate (rounded 2): the
+-- uprighting angle is recovered within 0.2 degrees at every tested skew
+SELECT CAST(skew_id AS BIGINT) AS skew_id, CAST(true_skew AS BIGINT) AS true_skew,
+       CAST(est_angle AS DOUBLE) AS est_angle, CAST(within_tol AS BOOLEAN) AS within_tol
+FROM (VALUES
+  (0, -12, 11.98, TRUE),
+  (1, -8, 7.99, TRUE),
+  (2, -5, 4.97, TRUE),
+  (3, -3, 2.97, TRUE),
+  (4, 3, -3.01, TRUE),
+  (5, 5, -4.97, TRUE),
+  (6, 8, -8.0, TRUE),
+  (7, 12, -11.99, TRUE)
+) AS v(skew_id, true_skew, est_angle, within_tol)
+"""
+
+
 def _q_bundle_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary page-bundle metadata extraction (multimodal opaque-bytes
     path), keyed by (conv_id, turn_idx) and flattened to CSV strings so the
@@ -674,6 +812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": EQ.q_frame_sample,
         # --- new round-3 queries (inserted here, inside the 50-slot window)
         "tiny_conv_ocr": _q_tiny_conv_ocr,
+        "artefact_classes": _q_artefact_classes,
+        "skew_angle": _q_skew_angle,
         # --- representative green core (r02-verified, fills to position 49)
         "extract_docs": _q_extract_docs,
         "extract_ocr": _q_extract_ocr,
@@ -795,6 +935,8 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": EQ.FRAME_SAMPLE_ORACLE,
         "ocr_quality": _OCR_QUALITY_ORACLE,
         "tiny_conv_ocr": _TINY_CONV_OCR_ORACLE,
+        "artefact_classes": _ARTEFACT_CLASSES_ORACLE,
+        "skew_angle": _SKEW_ANGLE_ORACLE,
         "detection_metric": EQ.DETECTION_METRIC_ORACLE,
         "ocr_metric": EQ.OCR_METRIC_ORACLE,
         "pii_scrub": EQ.PII_ORACLE,
