@@ -239,9 +239,13 @@ def main() -> None:
         # while the adjacent busy-loop ran at 0.98 efficiency, flipping the
         # 2->8 criterion from 0.83 to 0.39). Interleaving means a burst
         # must span BOTH visits to a level to corrupt its best.
+        # THREE interleaved rounds per level (was two): a measured co-tenant
+        # burst poisoned both 8-core visits of one r3 run (3.2k tps vs 4.4k
+        # in the adjacent exclusive run, flipping 2->8 from 0.89 to 0.71);
+        # with three visits a burst must span ~15 minutes to corrupt a level
         levels = sorted({max(2, CPUS // 16), max(2, CPUS // 4), CPUS})
         tps = {c: 0.0 for c in levels}
-        for _ in range(2):
+        for _ in range(3):
             for c in levels:
                 tps[c] = max(tps[c], scaling_run(corpus_dir, c))
         ceiling = _busyloop_scaling(levels)

@@ -54,13 +54,15 @@ EXTRACT_SCHEMA = (
 
 # a detected region is a non-text artefact when the ink fill of its
 # TRIMMED ink bbox exceeds the threshold AND the region is larger than a
-# couple of glyphs: measured over the OCR bank, word crops trim to <= 0.39
-# fill while bar/QR/halftone patterns sit at >= 0.5 and solids at 1.0;
-# the area floor (in font cells, x scale^2 px) keeps single dense glyphs
-# ('#' trims to 0.57) on the text path. Typed classification of gated
-# regions lives in operators/artefacts.py (the deterministic stand-in for
-# the reference's ONNX ArtefactDetector plugin, contrib/artefacts.py).
-ARTEFACT_FILL_THRESH = 0.45
+# couple of glyphs: the densest possible font words ('BBB', '###') trim
+# to exactly 60/133 = 0.451 fill (OCR-bank words <= 0.39) while bar/QR/
+# halftone patterns sit at >= 0.5 and solids at 1.0 — 0.475 splits the
+# measured gap. The area floor (in font cells, x scale^2 px) keeps one-
+# and two-glyph dense words ('#' trims to 0.57) on the text path. Typed
+# classification of gated regions lives in operators/artefacts.py (the
+# deterministic stand-in for the reference's ONNX ArtefactDetector
+# plugin, contrib/artefacts.py).
+ARTEFACT_FILL_THRESH = 0.475
 ARTEFACT_MIN_AREA_CELLS = 100
 
 PAGE_SEP = "\n\n\n\n"
