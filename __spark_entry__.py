@@ -451,6 +451,71 @@ FROM (VALUES
 """
 
 
+_LANGID_FIXTURE = [
+    (0, "en", "she opened the window and looked at the quiet street below the old houses."),
+    (1, "de", "er öffnete das fenster und schaute auf die ruhige straße unter den alten häusern."),
+    (2, "fr", "elle a ouvert la fenêtre et regardé la rue tranquille sous les vieilles maisons."),
+    (3, "es", "ella abrió la ventana y miró la calle tranquila bajo las casas viejas."),
+    (4, "it", "lei aprì la finestra e guardò la strada tranquilla sotto le vecchie case."),
+    (5, "pt", "ela abriu a janela e olhou para a rua tranquila embaixo das casas velhas."),
+    (6, "nl", "zij opende het raam en keek naar de rustige straat onder de oude huizen."),
+    (7, "sv", "hon öppnade fönstret och tittade på den lugna gatan under de gamla husen."),
+    (8, "pl", "otworzyła okno i spojrzała na spokojną ulicę pod starymi domami."),
+    (9, "tr", "pencereyi açtı ve aşağıdaki eski evlerin altındaki sakin sokağa baktı."),
+    (10, "ru", "она открыла окно и посмотрела на тихую улицу внизу."),
+    (11, "zh", "她打开窗户，看着下面安静的街道和古老的房子。"),
+    (12, "ja", "彼女は窓を開けて、下の静かな通りを眺めました。"),
+    (13, "ko", "그녀는 창문을 열고 아래의 조용한 거리를 바라보았다."),
+    (14, "ar", "فتحت النافذة ونظرت إلى الشارع الهادئ في الأسفل."),
+    (15, "he", "היא פתחה את החלון והביטה ברחוב השקט למטה."),
+    (16, "el", "άνοιξε το παράθυρο και κοίταξε τον ήσυχο δρόμο από κάτω."),
+    (17, "unknown", "hi"),
+]
+
+
+def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General language ID (Cavnar-Trenkle n-gram profiles + Unicode
+    script routing, functions/langid.py — the langdetect-equivalent the
+    marker heuristic could not be): held-out sentences in 17 languages
+    (none appear in the training samples) classified distributed; the
+    oracle pins every predicted label correct plus the short-text gate."""
+    from doctr_spark.functions.langid import lang_id_ngram
+
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in _LANGID_FIXTURE], "sid int, text string"
+    ).repartition(4)
+    out = df.select(F.col("sid").cast("long").alias("sid"), lang_id_ngram(F.col("text")).alias("r"))
+    return out.select("sid", F.col("r.lang").alias("lang"), F.col("r.conf").alias("conf"))
+
+
+_LANG_ID_NGRAM_ORACLE = """
+-- held-out sentences (disjoint from the embedded training samples), one
+-- per supported language + the short-text gate; confidences are the
+-- deterministic rank-distance margins (script-path rows are block ratios)
+SELECT CAST(sid AS BIGINT) AS sid, lang, CAST(conf AS DOUBLE) AS conf
+FROM (VALUES
+  (0, 'en', 0.003243),
+  (1, 'de', 0.240373),
+  (2, 'fr', 0.155665),
+  (3, 'es', 0.09934),
+  (4, 'it', 0.071018),
+  (5, 'pt', 0.044166),
+  (6, 'nl', 0.262144),
+  (7, 'sv', 0.236819),
+  (8, 'pl', 0.077173),
+  (9, 'tr', 0.053045),
+  (10, 'ru', 1.0),
+  (11, 'zh', 1.0),
+  (12, 'ja', 0.619048),
+  (13, 'ko', 1.0),
+  (14, 'ar', 1.0),
+  (15, 'he', 1.0),
+  (16, 'el', 1.0),
+  (17, 'unknown', 0.0)
+) AS v(sid, lang, conf)
+"""
+
+
 def _q_bundle_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary page-bundle metadata extraction (multimodal opaque-bytes
     path), keyed by (conv_id, turn_idx) and flattened to CSV strings so the
@@ -814,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiny_conv_ocr": _q_tiny_conv_ocr,
         "artefact_classes": _q_artefact_classes,
         "skew_angle": _q_skew_angle,
+        "lang_id_ngram": _q_lang_id_ngram,
         # --- representative green core (r02-verified, fills to position 49)
         "extract_docs": _q_extract_docs,
         "extract_ocr": _q_extract_ocr,
@@ -937,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         "tiny_conv_ocr": _TINY_CONV_OCR_ORACLE,
         "artefact_classes": _ARTEFACT_CLASSES_ORACLE,
         "skew_angle": _SKEW_ANGLE_ORACLE,
+        "lang_id_ngram": _LANG_ID_NGRAM_ORACLE,
         "detection_metric": EQ.DETECTION_METRIC_ORACLE,
         "ocr_metric": EQ.OCR_METRIC_ORACLE,
         "pii_scrub": EQ.PII_ORACLE,

@@ -544,3 +544,34 @@ def test_exact_embedding_neardup_string_ids(spark):
     df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
     out = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(df, threshold=0.99).collect()}
     assert out == {("doc-a", "doc-b")}
+
+
+def test_lang_id_ngram_held_out(spark):
+    """Cavnar-Trenkle n-gram language ID + script routing: held-out
+    sentences (disjoint from the embedded training samples) classify
+    correctly in all 17 supported languages; short text gates to unknown."""
+    from doctr_spark.functions.langid import classify_text, lang_id_ngram
+
+    cases = {
+        "en": "a small dog ran across the road before the rain started falling",
+        "de": "ein kleiner hund lief über die straße bevor der regen anfing zu fallen",
+        "fr": "un petit chien a traversé la route avant que la pluie ne commence",
+        "es": "un perro pequeño cruzó la carretera antes de que empezara la lluvia",
+        "pt": "um cachorro pequeno atravessou a estrada antes que a chuva começasse",
+        "nl": "een kleine hond rende de weg over voordat de regen begon te vallen",
+        "pl": "mały pies przebiegł przez drogę zanim zaczął padać deszcz",
+        "tr": "küçük bir köpek yağmur başlamadan önce yolun karşısına koştu",
+        "ru": "маленькая собака перебежала дорогу до начала дождя",
+        "ja": "小さな犬が雨が降り始める前に道路を渡った。ひらがなもあります。",
+        "ko": "작은 개가 비가 오기 전에 길을 건넜다.",
+        "el": "ένας μικρός σκύλος πέρασε τον δρόμο πριν αρχίσει η βροχή",
+    }
+    for want, text in cases.items():
+        got, conf = classify_text(text)
+        assert got == want, (want, got, conf)
+    assert classify_text("ok") == ("unknown", 0.0)
+    assert classify_text("") == ("unknown", 0.0)
+    # Spark column path agrees with the driver-side function
+    df = spark.createDataFrame([(t,) for t in cases.values()], "text string")
+    rows = df.select(lang_id_ngram(F.col("text")).alias("r")).collect()
+    assert sorted(r["r"]["lang"] for r in rows) == sorted(cases)
