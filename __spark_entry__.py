@@ -261,6 +261,80 @@ def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means trained IN-QUERY (k-means++ on a
+    deterministic hash-sample, then Lloyd iterations where each corpus pass
+    emits <= k map-side-combined partial rows per partition), followed by
+    the per-cell occupancy/quality stats a 100 TB training job logs. The
+    codebook is bit-deterministic across runs and input layouts (hash
+    repartition + in-partition id sort pins float summation order), so the
+    16-row stats table is pinned as a VALUES oracle. Balance invariant the
+    pytest guard also asserts: max cell <= 2x mean occupancy."""
+    from doctr_spark.operators.clustering import cluster_stats, kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(emb, k=16, dim=64, n_iter=5)
+    return cluster_stats(emb, cents)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup): k-means cells bound the candidate
+    self-join (sum |cell|^2, never n^2); within-cell exact cosine drops
+    every row with a smaller-id neighbor >= tau. Checked against the exact
+    all-pairs twin computed in-query: n_false_pos (removed rows with NO
+    corpus-wide exact pair) is structurally 0, n_exact_pairs is
+    independently SQL-derived by the oracle, and n_removed /
+    n_same_cell_pairs pin the measured cell recall (pairs at tau=0.4 sit
+    near the decision boundary of 64-dim cosine, so cells split most of
+    them — the operator targets near-identical duplicates, which share an
+    argmax cell by construction)."""
+    from doctr_spark.operators.clustering import kmeans_fit, semantic_dedup
+    from doctr_spark.operators.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()  # one shared action; both paths take n_rows explicitly
+    cents = kmeans_fit(emb, k=16, dim=64, n_iter=5)
+    sd = semantic_dedup(emb, cents, threshold=0.4)
+    exact = embedding_near_duplicates(emb, threshold=0.4, method="exact", n_rows=n).select(
+        "id_a", "id_b"
+    )
+    removed = sd.filter(~F.col("is_kept")).select(
+        F.col("vec_id").alias("id_b"), F.col("dup_of").alias("id_a")
+    )
+    sd_agg = sd.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(~F.col("is_kept"), 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).alias("n_kept"),
+    )
+    # every removed row's (dup_of, id) must be an exact >= tau pair
+    fp_agg = removed.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("n_false_pos")
+    )
+    same_cell_agg = removed.join(exact, ["id_a", "id_b"], "inner").agg(
+        F.count("*").alias("n_same_cell_pairs")
+    )
+    exact_agg = exact.agg(F.count("*").alias("n_exact_pairs"))
+    return sd_agg.crossJoin(fp_agg).crossJoin(same_cell_agg).crossJoin(exact_agg)
+
+
+def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a TRAINED k-means codebook (vs ann_ivf's seeded
+    stand-in): recall@5 vs the exact cosine twin with a per-query floor.
+    Trained cells raise measured recall at equal probe fraction (0.54 vs
+    0.50 seeded at nprobe=4; run here at nprobe=6 -> 0.66) and — the real
+    scale property — keep cell occupancy balanced on clustered corpora
+    where seeded centroids would skew the probe join."""
+    from doctr_spark.operators.clustering import kmeans_fit
+    from doctr_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(emb, k=16, dim=64, n_iter=5)
+    q = emb.filter(F.col("vec_id") < 10)
+    ann = ann_ivf_topk(emb, q, k=5, nprobe=6, dim=64, centroids=cents)
+    exact = cosine_topk(emb, q, k=5)
+    return _ann_recall_vs_exact(ann, exact, floor_hits=2)
+
+
 def _q_tiny_conv_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused OCR extraction through the pluggable model seam with a REAL
     weights file: detector = 2-layer sigmoid-conv net, recognizer =
@@ -623,6 +697,63 @@ FROM (VALUES
 ) AS v(query_id, k_exact, n_ann, n_hits)
 """
 
+_KMEANS_CELLS_ORACLE = """
+-- per-cell occupancy + mean cosine-to-centroid of the spherical k-means
+-- codebook; pinned VALUES because the codebook is bit-deterministic (seeded
+-- k-means++ init on a hash-sample; Lloyd reduce in sorted (cell, pid)
+-- order over hash-pinned partitions). Balance: max cell 37 <= 2 * 500/16.
+SELECT CAST(cell AS INTEGER) AS cell, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(mean_sim AS DOUBLE) AS mean_sim
+FROM (VALUES
+  (0, 31, 0.317864), (1, 28, 0.335033), (2, 27, 0.332274), (3, 25, 0.347911),
+  (4, 34, 0.343794), (5, 35, 0.330615), (6, 31, 0.370354), (7, 26, 0.336887),
+  (8, 30, 0.338729), (9, 33, 0.325229), (10, 28, 0.339574), (11, 37, 0.317479),
+  (12, 37, 0.335652), (13, 31, 0.343844), (14, 32, 0.314937), (15, 35, 0.328211)
+) AS v(cell, n_rows, mean_sim)
+"""
+
+_SEMANTIC_DEDUP_ORACLE = """
+-- n_rows and n_exact_pairs are REAL SQL (DuckDB recomputes the corpus size
+-- and the exact all-pairs cosine pair count); the k-means-dependent counts
+-- are pinned from the deterministic codebook. n_false_pos is structurally
+-- 0: every removed row is exact-cosine-verified within its cell, so its
+-- (dup_of, id) pair must appear in the corpus-wide exact pair set.
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_rows,
+       CAST(15 AS BIGINT) AS n_removed,
+       CAST(485 AS BIGINT) AS n_kept,
+       CAST(0 AS BIGINT) AS n_false_pos,
+       CAST(15 AS BIGINT) AS n_same_cell_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_exact_pairs
+"""
+
+_ANN_IVF_TRAINED_ORACLE = """
+-- measured recall@5 of IVF over the TRAINED k-means codebook vs the exact
+-- cosine twin; per-query hits pinned (deterministic codebook), floor_ok
+-- asserts the >= 2/5 per-query floor. Aggregate recall 33/50 = 0.66 at
+-- nprobe 6/16 (seeded codebook: 0.50 at nprobe 4/16).
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(k_exact AS BIGINT) AS k_exact,
+       CAST(n_ann AS BIGINT) AS n_ann, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(floor_ok AS BOOLEAN) AS floor_ok
+FROM (VALUES
+  (0, 5, 5, 2, TRUE),
+  (1, 5, 5, 3, TRUE),
+  (2, 5, 5, 2, TRUE),
+  (3, 5, 5, 4, TRUE),
+  (4, 5, 5, 4, TRUE),
+  (5, 5, 5, 2, TRUE),
+  (6, 5, 5, 3, TRUE),
+  (7, 5, 5, 5, TRUE),
+  (8, 5, 5, 3, TRUE),
+  (9, 5, 5, 5, TRUE)
+) AS v(query_id, k_exact, n_ann, n_hits, floor_ok)
+"""
+
 _BUNDLE_METADATA_ORACLE = """
 -- deterministic page-bundle headers from make_transcripts(10, ocr_ratio=1):
 -- turn_key = conv_idx*1000 + turn_idx, page dims from the raster font
@@ -880,6 +1011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "artefact_classes": _q_artefact_classes,
         "skew_angle": _q_skew_angle,
         "lang_id_ngram": _q_lang_id_ngram,
+        "kmeans_cells": _q_kmeans_cells,
+        "semantic_dedup": _q_semantic_dedup,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         # --- representative green core (r02-verified, fills to position 49)
         "extract_docs": _q_extract_docs,
         "extract_ocr": _q_extract_ocr,
@@ -892,14 +1026,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_boxes": EQ.q_detect_boxes,
         "orientation": EQ.q_orientation,
         "hocr_export": EQ.q_hocr_export,
-        "translate_vocab": EQ.q_translate,
         "sort_key_rank": EQ.q_sort_key_rank,
         "gap_sessionize": EQ.q_gap_sessionize,
         "streaming_sessionize": _q_streaming_sessionize,
         "asof_join": EQ.q_asof_join,
         "anomalies": EQ.q_anomalies,
-        "pricing_summary": EQ.q_pricing_summary,
-        "token_stats": EQ.q_token_stats,
         "exact_dedup": EQ.q_exact_dedup_summary,
         "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,
@@ -907,6 +1038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         # --- past position 49: green in r01/r02, rotated out of the driver
         # window this round; still builder-checked (check_oracles.py)
+        "translate_vocab": EQ.q_translate,
+        "pricing_summary": EQ.q_pricing_summary,
+        "token_stats": EQ.q_token_stats,
         "render_joins": EQ.q_render_joins,
         "split_crops": EQ.q_split_crops,
         "kie_render": EQ.q_kie_render,
@@ -993,6 +1127,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessionize": _STREAMING_SESSIONIZE_ORACLE,
         "ann_lsh": _ANN_LSH_ORACLE,
         "ann_ivf": _ANN_IVF_ORACLE,
+        "kmeans_cells": _KMEANS_CELLS_ORACLE,
+        "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
+        "ann_ivf_trained": _ANN_IVF_TRAINED_ORACLE,
         "emb_neardup_lsh": _EMB_NEARDUP_LSH_ORACLE,
         "bundle_metadata": _BUNDLE_METADATA_ORACLE,
         "image_neardup": EQ.IMAGE_NEARDUP_ORACLE,

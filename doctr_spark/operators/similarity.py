@@ -357,6 +357,7 @@ def ann_ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     dim: int = 64,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus rows live in their single nearest
     coarse cell; each query probes its ``nprobe`` nearest cells and exact
@@ -366,8 +367,15 @@ def ann_ivf_topk(
     the candidate join is an equi-join on ``cell`` with the tiny probed query
     set broadcast, so a 100 TB corpus is scanned once and each task scores
     ~nprobe/n_centroids of its slice. Identical vectors always share a cell
-    (same argmax), so exact duplicates have recall 1."""
-    cents = ivf_centroids(dim, n_centroids)
+    (same argmax), so exact duplicates have recall 1.
+
+    ``centroids``: a trained codebook (e.g. from
+    :func:`doctr_spark.operators.clustering.kmeans_fit`) — balances cell
+    occupancy on clustered real-world embeddings, where the seeded default
+    would concentrate mass in few cells and skew both the probe join and
+    per-task scoring. Default keeps the seeded quantizer (deterministic,
+    training-free)."""
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_centroids)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
