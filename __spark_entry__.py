@@ -387,6 +387,48 @@ FROM (VALUES
 """
 
 
+def _q_detector_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn equality through TWO more non-default detector
+    architectures via the pluggable seam (committed real weights,
+    models_data/tiny_zoo_v1.npz): 'fast' = multi-branch FASTConvLayer
+    weights folded by the real reparameterization at load time into one
+    fused conv (reference models/detection/fast/pytorch.py:283);
+    'linknet' = encoder-decoder forward whose decoder conv runs on an
+    s-stride-pooled feature map with an additive stem skip (reference
+    models/detection/linknet). Invariant: n_exact == n_turns for both —
+    the extraction result is architecture-independent."""
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.plans.tiny_zoo import tiny_fast_detector, tiny_linknet_detector
+    from doctr_spark.sources.corpus import make_transcripts
+
+    gen = make_transcripts(spark, 4, partitions=2, ocr_ratio=1.0, html_ratio=0.0)
+    inp = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    exp = gen.select("conv_id", "turn_idx", "expected_text")
+    frames = []
+    for name, variant in (("fast", tiny_fast_detector), ("linknet", tiny_linknet_detector)):
+        m = extract_turns(inp, detector=variant()).join(exp, ["conv_id", "turn_idx"])
+        frames.append(
+            m.agg(
+                F.count("*").alias("n_turns"),
+                F.sum(
+                    (F.col("extracted_text") == F.col("expected_text")).cast("long")
+                ).alias("n_exact"),
+            ).select(F.lit(name).alias("detector"), "n_turns", "n_exact")
+        )
+    return frames[0].unionByName(frames[1])
+
+
+_DETECTOR_ZOO_ORACLE = """
+-- turn counts pinned by the deterministic generator (first 4 convs of the
+-- extract_ocr fixture: 12+3+13+13 = 41); the invariant under test is
+-- n_exact == n_turns through BOTH non-default detector architectures
+-- (reparameterized-FAST fused conv; LinkNet encoder-decoder + skip)
+SELECT detector, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_exact AS BIGINT) AS n_exact
+FROM (VALUES ('fast', 41, 41), ('linknet', 41, 41)) AS v(detector, n_turns, n_exact)
+"""
+
+
 def _q_artefact_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed artefact taxonomy through the fused pipeline, distributed:
     12 single-turn transcripts each carry a rendered page with a text line
@@ -1014,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": _q_kmeans_cells,
         "semantic_dedup": _q_semantic_dedup,
         "ann_ivf_trained": _q_ann_ivf_trained,
+        "detector_zoo": _q_detector_zoo,
         # --- representative green core (r02-verified, fills to position 49)
         "extract_docs": _q_extract_docs,
         "extract_ocr": _q_extract_ocr,
@@ -1029,7 +1072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_key_rank": EQ.q_sort_key_rank,
         "gap_sessionize": EQ.q_gap_sessionize,
         "streaming_sessionize": _q_streaming_sessionize,
-        "asof_join": EQ.q_asof_join,
         "anomalies": EQ.q_anomalies,
         "exact_dedup": EQ.q_exact_dedup_summary,
         "minhash_neardup": _q_minhash_neardup,
@@ -1041,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translate_vocab": EQ.q_translate,
         "pricing_summary": EQ.q_pricing_summary,
         "token_stats": EQ.q_token_stats,
+        "asof_join": EQ.q_asof_join,
         "render_joins": EQ.q_render_joins,
         "split_crops": EQ.q_split_crops,
         "kie_render": EQ.q_kie_render,
@@ -1130,6 +1173,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cells": _KMEANS_CELLS_ORACLE,
         "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "ann_ivf_trained": _ANN_IVF_TRAINED_ORACLE,
+        "detector_zoo": _DETECTOR_ZOO_ORACLE,
         "emb_neardup_lsh": _EMB_NEARDUP_LSH_ORACLE,
         "bundle_metadata": _BUNDLE_METADATA_ORACLE,
         "image_neardup": EQ.IMAGE_NEARDUP_ORACLE,

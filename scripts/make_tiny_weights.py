@@ -1,7 +1,10 @@
-"""Regenerate doctr_spark/models_data/tiny_conv_v1.npz (the committed
-weights of the tiny-conv model pair — see plans/tiny_conv.py).
+"""Regenerate the committed model weights:
+- doctr_spark/models_data/tiny_conv_v1.npz (plans/tiny_conv.py)
+- doctr_spark/models_data/tiny_zoo_v1.npz (plans/tiny_zoo.py — FAST
+  multi-branch + LinkNet encoder-decoder detector variants)
 
 Usage: python scripts/make_tiny_weights.py [out_path]
+(an explicit out_path writes only the tiny-conv file there)
 """
 
 from __future__ import annotations
@@ -23,6 +26,12 @@ def main() -> None:
     np.savez(out, **weights)
     sizes = {k: getattr(v, "shape", ()) for k, v in weights.items()}
     print(f"wrote {out}: {sizes}")
+    if len(sys.argv) <= 1:
+        from doctr_spark.plans.tiny_zoo import ZOO_WEIGHTS_PATH, make_tiny_zoo_weights
+
+        zoo = make_tiny_zoo_weights()
+        np.savez(ZOO_WEIGHTS_PATH, **zoo)
+        print(f"wrote {ZOO_WEIGHTS_PATH}: {sorted(zoo)}")
 
 
 if __name__ == "__main__":
