@@ -203,6 +203,8 @@ def bitmap_to_boxes(
     min_size_box: int = MIN_SIZE_BOX,
     score_mask: np.ndarray | None = None,
     levels: tuple[float, float] | None = None,
+    cell_scale: int = 1,
+    out_dims: tuple[int, int] | None = None,
 ) -> np.ndarray:
     """Connected components of the (already opened) bitmap -> (N,5) relative
     [xmin,ymin,xmax,ymax,score] boxes, clipped to [0,1].
@@ -210,16 +212,31 @@ def bitmap_to_boxes(
     Fast path: when the proba map is two-level (bg where mask=0, fg where
     mask=1), pass ``score_mask``+``levels`` instead of ``pred`` — the score
     bg + (fg-bg)*mean(mask[region]) is then exactly the proba mean without
-    ever materializing a float map (the hot loop of the extraction UDF)."""
-    h, w = bitmap.shape[:2]
+    ever materializing a float map (the hot loop of the extraction UDF).
+
+    ``cell_scale`` > 1: the bitmap is a cell-space downsampling of a pixel
+    mask (each cell = a ``cell_scale`` x ``cell_scale`` pixel block);
+    component bboxes convert to pixel coords before the size filter /
+    unclip / normalization, which use ``out_dims`` (the true pixel page
+    dims — may be up to cell_scale-1 px larger than bitmap*cell_scale).
+    Scores still come from the cell mask: for a cell-aligned mask the ink
+    fraction over any cell-aligned region is identical in both spaces."""
+    h, w = (out_dims if out_dims is not None else bitmap.shape[:2])
+    cs = cell_scale
     out: list[list[float]] = []
-    for x0, y0, x1, y1 in connected_components(bitmap):
+    for cx0, cy0, cx1, cy1 in connected_components(bitmap):
+        if cs > 1:
+            x0, y0, x1, y1 = cx0 * cs, cy0 * cs, (cx1 + 1) * cs - 1, (cy1 + 1) * cs - 1
+        else:
+            x0, y0, x1, y1 = cx0, cy0, cx1, cy1
         # extent filter mirrors the reference's contour-extent < min_size drop
         if (x1 - x0) < min_size_box or (y1 - y0) < min_size_box:
             continue
         if score_mask is not None and levels is not None:
             bg, fg = levels
-            score = bg + (fg - bg) * float(score_mask[y0 : y1 + 1, x0 : x1 + 1].mean())
+            score = bg + (fg - bg) * float(
+                score_mask[cy0 : cy1 + 1, cx0 : cx1 + 1].mean()
+            )
         else:
             score = box_score(pred, x0, y0, x1, y1)
         if score < box_thresh:
@@ -293,6 +310,31 @@ def ink_word_boxes(
     pipeline skips straight from masks to components."""
     gray = img if img.ndim == 2 else img.mean(axis=-1)
     ink = (gray < 128).astype(np.uint8)
+    if scale > 1:
+        cells = _ink_cells_if_aligned(ink, scale)
+        if cells is not None:
+            # cell-space fast path: the renderer places ink on an s-aligned
+            # cell grid, so s x s pooling is lossless and dilation by
+            # (4, 3) CELLS == dilation by (4s, 3s) px — every downstream
+            # pass (dilate cumsums, components, scoring) touches s^2 = 9x
+            # fewer pixels. This is the DRAM-bandwidth lever: the dilation
+            # cumsums are the extraction UDF's hot loop and the root-caused
+            # 8->32 core scaling limiter (BENCH.md round-3). Boxes are
+            # bit-identical to the full-resolution path (proved in
+            # tests/test_detection.py); non-aligned input (skewed scans,
+            # arbitrary rasters) returns None and takes the exact
+            # full-resolution path below.
+            fused_c = dilate_horizontal(dilate_vertical(cells, 4), 3)
+            return bitmap_to_boxes(
+                None,  # type: ignore[arg-type]
+                fused_c,
+                box_thresh=box_thresh,
+                unclip_ratio=unclip_ratio,
+                score_mask=fused_c,
+                levels=(bg_level, ink_level),
+                cell_scale=scale,
+                out_dims=ink.shape,
+            )
     fused = dilate_horizontal(dilate_vertical(ink, 4 * scale), 3 * scale)
     # 3x3 opening is the identity here: the fused mask is a union of
     # (6s+1)x(8s+1) rectangles (one per ink pixel), each >= 3x3, and
@@ -307,3 +349,39 @@ def ink_word_boxes(
         score_mask=fused,
         levels=(bg_level, ink_level),
     )
+
+
+def _ink_cells_if_aligned(ink: np.ndarray, s: int) -> np.ndarray | None:
+    """Cell-space (H/s, W/s) 0/1 downsampling of an ink mask, or None when
+    the mask is not exactly s-aligned (any partially-inked cell, or ink in
+    the partial edge strips / near enough to them that pixel-space dilation
+    would enter the strips the cell grid cannot represent)."""
+    H, W = ink.shape
+    hc, wc = H // s, W // s
+    if hc == 0 or wc == 0:
+        return None
+    core = ink[: hc * s, : wc * s]
+    # strided-slice adds beat a reshape(hc,s,wc,s).sum((1,3)) ~10x here
+    # (contiguous row reads, no 4-d intermediate); uint8 is safe to s=15
+    dt = np.uint8 if s * s <= 255 else np.int32
+    rows = core[0::s].astype(dt, copy=True)
+    for i in range(1, s):
+        rows += core[i::s]
+    cellsum = rows[:, 0::s].copy()
+    for i in range(1, s):
+        cellsum += rows[:, i::s]
+    full = s * s
+    if not bool(((cellsum == 0) | (cellsum == full)).all()):
+        return None
+    if W - wc * s and ink[:, wc * s :].any():
+        return None
+    if H - hc * s and ink[hc * s :, :].any():
+        return None
+    cells = (cellsum > 0).astype(np.uint8)
+    # conservative guard: ink within dilation reach of a partial edge strip
+    # would dilate into pixels the cell grid cannot express -> full-res path
+    if W - wc * s and cells[:, max(wc - 4, 0) :].any():
+        return None
+    if H - hc * s and cells[max(hc - 5, 0) :, :].any():
+        return None
+    return cells

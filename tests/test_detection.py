@@ -214,3 +214,43 @@ def test_fast_reparameterize_partial_branches():
     assert np.allclose(batchnorm(conv2d_same(x, k), bn), conv2d_same(x, kernel, bias), atol=1e-9)
     kf, bf = fuse_conv_bn(k, bn)
     assert np.allclose(kernel, kf) and np.allclose(bias, bf)
+
+
+def test_cell_fast_path_bit_equal_to_full_res():
+    """ink_word_boxes' cell-space fast path (s-aligned pooling + cell-unit
+    dilation + cell-space components) returns boxes BIT-IDENTICAL — scores
+    included — to the full-resolution dilation path, on pages and all
+    quarter-turn rotations; a 1px-shifted (non-aligned) page falls back to
+    the full-resolution path and still matches it exactly."""
+    from doctr_spark.operators.detection import (
+        _ink_cells_if_aligned,
+        bitmap_to_boxes,
+        dilate_horizontal,
+        dilate_vertical,
+        ink_word_boxes,
+    )
+    from doctr_spark.sources.font import DEFAULT_SCALE, render_page
+
+    def full_res(page):
+        ink = (page < 128).astype(np.uint8)
+        fused = dilate_horizontal(dilate_vertical(ink, 4 * DEFAULT_SCALE), 3 * DEFAULT_SCALE)
+        return bitmap_to_boxes(
+            None, fused, box_thresh=0.1, unclip_ratio=0.2,
+            score_mask=fused, levels=(0.02, 0.98),
+        )
+
+    for words in (["HELLO", "WORLD"], ["A+B=C", "R&D", "#1"], ["WHY?", "GO!", "KILO"]):
+        img, _ = render_page(words, scale=DEFAULT_SCALE)
+        # upright pages are s-aligned and take the fast path
+        assert _ink_cells_if_aligned((img < 128).astype(np.uint8), DEFAULT_SCALE) is not None
+        for k in range(4):
+            # rotations of a 640-wide page break alignment (640 % 3 != 0)
+            # and exercise the fallback; either way boxes are identical
+            pg = np.rot90(img, k)
+            assert np.array_equal(ink_word_boxes(pg, DEFAULT_SCALE), full_res(pg))
+    # 1px shift breaks cell alignment -> exact full-res fallback
+    img, _ = render_page(["HELLO", "WORLD"], scale=DEFAULT_SCALE)
+    shifted = np.full_like(img, 255)
+    shifted[:, 1:] = img[:, :-1]
+    assert _ink_cells_if_aligned((shifted < 128).astype(np.uint8), DEFAULT_SCALE) is None
+    assert np.array_equal(ink_word_boxes(shifted, DEFAULT_SCALE), full_res(shifted))
