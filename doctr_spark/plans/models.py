@@ -86,17 +86,27 @@ def _load_glyph_recognizer() -> Callable:
     from ..operators.recognition import ctc_best_path, indices_to_logits
     from ..sources.font import read_word_crop
 
-    def recognize(crops: list[np.ndarray], scale: int) -> list[tuple[str, float]]:
-        out = []
-        for crop in crops:
-            raw = read_word_crop(crop, scale)
+    # encode+CTC on a decoded string is a pure function of that string;
+    # memoizing it per worker skips re-running the decode math for every
+    # repeated word (bounded cache — corpora have Zipfian word frequency,
+    # so the hit rate is high at any scale and the cache stays small)
+    ctc_memo: dict[str, tuple[str, float]] = {}
+
+    def _ctc_for(raw: str) -> tuple[str, float]:
+        hit = ctc_memo.get(raw)
+        if hit is None:
             try:
                 indices = encode_string(raw, FONT)
             except ValueError:
-                out.append((raw, 0.0))
-                continue
-            out.append(ctc_best_path(indices_to_logits(indices), FONT)[0])
-        return out
+                hit = (raw, 0.0)
+            else:
+                hit = ctc_best_path(indices_to_logits(indices), FONT)[0]
+            if len(ctc_memo) < 65536:
+                ctc_memo[raw] = hit
+        return hit
+
+    def recognize(crops: list[np.ndarray], scale: int) -> list[tuple[str, float]]:
+        return [_ctc_for(read_word_crop(crop, scale)) for crop in crops]
 
     return recognize
 

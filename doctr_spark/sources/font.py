@@ -209,10 +209,17 @@ def read_word_crop(crop: np.ndarray, scale: int, unknown: str = "■") -> str:
     if crop.size == 0:
         return ""
     ink = (crop < 128) if crop.ndim == 2 else (crop.mean(axis=-1) < 128)
-    ys, xs = np.nonzero(ink)
-    if ys.size == 0:
+    # trim via axis any()+argmax instead of nonzero(): no index-array
+    # allocation over the crop (this is the recognizer's hot loop)
+    rows_any = ink.any(axis=1)
+    if not rows_any.any():
         return ""
-    ink = ink[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+    cols_any = ink.any(axis=0)
+    y0 = int(rows_any.argmax())
+    y1 = len(rows_any) - int(rows_any[::-1].argmax())
+    x0 = int(cols_any.argmax())
+    x1 = len(cols_any) - int(cols_any[::-1].argmax())
+    ink = ink[y0:y1, x0:x1]
     h, w = ink.shape
     if scale > 1 and (h % scale or w % scale):
         return _read_word_crop_px(ink, scale, unknown)
