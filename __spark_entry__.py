@@ -418,6 +418,45 @@ def _q_detector_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames[0].unionByName(frames[1])
 
 
+def _q_recognizer_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn equality through the PARALLEL-decode (non-CTC) recognizer
+    family via the pluggable seam: 'vitstr' decodes per-position argmax to
+    <eos> with mean-softmax confidence (reference
+    recognition/vitstr/pytorch.py:155-180), 'sar' with min-softmax over
+    all positions (recognition/sar/pytorch.py:309-333, shared by MASTER).
+    Invariant: n_exact == n_turns for both — extraction output is
+    decode-family-independent."""
+    from doctr_spark.plans.models import SAR_RECOGNIZER, VITSTR_RECOGNIZER
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.sources.corpus import make_transcripts
+
+    gen = make_transcripts(spark, 4, partitions=2, ocr_ratio=1.0, html_ratio=0.0)
+    inp = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    exp = gen.select("conv_id", "turn_idx", "expected_text")
+    frames = []
+    for name, rec in (("vitstr", VITSTR_RECOGNIZER), ("sar", SAR_RECOGNIZER)):
+        m = extract_turns(inp, recognizer=rec).join(exp, ["conv_id", "turn_idx"])
+        frames.append(
+            m.agg(
+                F.count("*").alias("n_turns"),
+                F.sum(
+                    (F.col("extracted_text") == F.col("expected_text")).cast("long")
+                ).alias("n_exact"),
+            ).select(F.lit(name).alias("recognizer"), "n_turns", "n_exact")
+        )
+    return frames[0].unionByName(frames[1])
+
+
+_RECOGNIZER_ZOO_ORACLE = """
+-- turn counts pinned by the deterministic generator (first 4 convs of the
+-- extract_ocr fixture); the invariant under test is n_exact == n_turns
+-- through BOTH non-CTC decode families (ViTSTR mean-conf, SAR min-conf)
+SELECT recognizer, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_exact AS BIGINT) AS n_exact
+FROM (VALUES ('vitstr', 41, 41), ('sar', 41, 41)) AS v(recognizer, n_turns, n_exact)
+"""
+
+
 _DETECTOR_ZOO_ORACLE = """
 -- turn counts pinned by the deterministic generator (first 4 convs of the
 -- extract_ocr fixture: 12+3+13+13 = 41); the invariant under test is
@@ -1057,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "ann_ivf_trained": _q_ann_ivf_trained,
         "detector_zoo": _q_detector_zoo,
+        "recognizer_zoo": _q_recognizer_zoo,
         # --- representative green core (r02-verified, fills to position 49)
         "extract_docs": _q_extract_docs,
         "extract_ocr": _q_extract_ocr,
@@ -1070,7 +1110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orientation": EQ.q_orientation,
         "hocr_export": EQ.q_hocr_export,
         "sort_key_rank": EQ.q_sort_key_rank,
-        "gap_sessionize": EQ.q_gap_sessionize,
         "streaming_sessionize": _q_streaming_sessionize,
         "anomalies": EQ.q_anomalies,
         "exact_dedup": EQ.q_exact_dedup_summary,
@@ -1084,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": EQ.q_pricing_summary,
         "token_stats": EQ.q_token_stats,
         "asof_join": EQ.q_asof_join,
+        "gap_sessionize": EQ.q_gap_sessionize,
         "render_joins": EQ.q_render_joins,
         "split_crops": EQ.q_split_crops,
         "kie_render": EQ.q_kie_render,
@@ -1174,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "ann_ivf_trained": _ANN_IVF_TRAINED_ORACLE,
         "detector_zoo": _DETECTOR_ZOO_ORACLE,
+        "recognizer_zoo": _RECOGNIZER_ZOO_ORACLE,
         "emb_neardup_lsh": _EMB_NEARDUP_LSH_ORACLE,
         "bundle_metadata": _BUNDLE_METADATA_ORACLE,
         "image_neardup": EQ.IMAGE_NEARDUP_ORACLE,

@@ -205,3 +205,64 @@ def remap_preds(
             confs = [preds[i][1] for i in range(m[0], m[1])]
             out.append((merge_multi_strings(vals, dilation), min(confs)))
     return out
+
+
+def eos_decode(
+    logits: np.ndarray, vocab: str = FONT, conf: str = "mean"
+) -> list[tuple[str, float]]:
+    """Parallel (non-CTC) sequence decode for attention/ViT-style heads:
+    argmax per position over ``vocab + [<eos>, <sos>]``, word = everything
+    before the first <eos>.
+
+    ``conf`` selects the reference postprocessor family:
+    - ``"mean"`` — ViTSTR semantics (reference
+      recognition/vitstr/pytorch.py:155-180): mean of the per-position max
+      softmax over the first ``len(word)`` positions, 0.0 for an empty
+      word.
+    - ``"min"`` — SAR semantics (reference recognition/sar/pytorch.py:
+      309-333, shared by MASTER master/base.py:42): min of the argmax
+      class's softmax over ALL positions, including <eos>/padding slots.
+
+    The eos index is ``len(vocab)`` and sos is ``len(vocab) + 1``, matching
+    the reference's ``encode_sequences(eos=len(vocab), sos=len(vocab)+1)``
+    (vitstr/base.py:30-36). A predicted <sos> inside the word renders as
+    the literal token string, exactly like the reference's embedding join.
+    """
+    arr = np.asarray(logits, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr[None]
+    embedding = list(vocab) + ["<eos>", "<sos>"]
+    out_idxs = arr.argmax(axis=-1)  # (N, L)
+    sm = softmax(arr, axis=-1)
+    max_prob = sm.max(axis=-1)  # (N, L)
+    out: list[tuple[str, float]] = []
+    for i, seq in enumerate(out_idxs):
+        word = "".join(embedding[k] for k in seq.tolist()).split("<eos>")[0]
+        if conf == "mean":
+            p = float(np.clip(max_prob[i, : len(word)], 0, 1).mean()) if word else 0.0
+        elif conf == "min":
+            p = float(np.clip(max_prob[i].min(), 0, 1))
+        else:
+            raise ValueError(f"unknown conf mode {conf!r}")
+        out.append((word, p))
+    return out
+
+
+def indices_to_eos_logits(
+    indices: list[int], vocab: str = FONT, max_length: int = 32, peak: float = 10.0
+) -> np.ndarray:
+    """Build a (max_length, V+2) parallel-decode logits sequence whose
+    :func:`eos_decode` output is exactly the encoded word: one peaked row
+    per character, then an <eos>-peaked row, then <eos>-peaked padding —
+    the target layout the reference trains attention/ViT heads toward
+    (``encode_sequences(..., eos=len(vocab))``, vitstr/base.py:30-36).
+    The deterministic analog of :func:`indices_to_logits` for the non-CTC
+    postprocessor family."""
+    if len(indices) >= max_length:
+        raise ValueError(f"word length {len(indices)} >= max_length {max_length}")
+    v = len(vocab)
+    logits = np.zeros((max_length, v + 2), dtype=np.float64)
+    for t, k in enumerate(indices):
+        logits[t, k] = peak
+    logits[len(indices) :, v] = peak  # <eos> + padding slots
+    return logits

@@ -111,6 +111,50 @@ def _load_glyph_recognizer() -> Callable:
     return recognize
 
 
+def _make_parallel_recognizer_loader(conf_mode: str) -> Callable[[], Callable]:
+    """Recognizer with the PARALLEL-decode (non-CTC) postprocessor family:
+    attention/ViT-style heads emit one logit row per character position
+    over ``vocab + [<eos>, <sos>]`` and decode by per-position argmax up
+    to <eos> — no blank channel, no repeat collapse. ``conf_mode`` picks
+    the reference confidence semantics: "mean" = ViTSTR
+    (recognition/vitstr/pytorch.py:155-180), "min" = SAR/MASTER
+    (recognition/sar/pytorch.py:309-333). The deterministic glyph head
+    plays the encoder exactly as the CTC default does; the decode path is
+    the real reference postprocessor re-derived in numpy
+    (operators/recognition.py: eos_decode)."""
+
+    def load() -> Callable:
+        from ..functions.vocabs import FONT, encode_string
+        from ..operators.recognition import eos_decode, indices_to_eos_logits
+        from ..sources.font import read_word_crop
+
+        memo: dict[str, tuple[str, float]] = {}
+
+        def _decode_for(raw: str) -> tuple[str, float]:
+            hit = memo.get(raw)
+            if hit is None:
+                try:
+                    indices = encode_string(raw, FONT)
+                except ValueError:
+                    hit = (raw, 0.0)
+                else:
+                    hit = eos_decode(indices_to_eos_logits(indices), FONT, conf=conf_mode)[0]
+                if len(memo) < 65536:
+                    memo[raw] = hit
+            return hit
+
+        def recognize(crops: list[np.ndarray], scale: int) -> list[tuple[str, float]]:
+            return [_decode_for(read_word_crop(crop, scale)) for crop in crops]
+
+        return recognize
+
+    return load
+
+
+VITSTR_RECOGNIZER: ModelLoader = ("glyph-vitstr-v1", _make_parallel_recognizer_loader("mean"))
+SAR_RECOGNIZER: ModelLoader = ("glyph-sar-v1", _make_parallel_recognizer_loader("min"))
+
+
 def _load_glyph_orientation() -> Callable:
     """Deterministic orientation classifier: glyph-hit score over the 4
     quarter turns (the OrientationPredictor contract —

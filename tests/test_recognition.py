@@ -171,3 +171,80 @@ def test_vocab_table_breadth():
     # ordering contract: digit '5' encodes to index 5 in every digit-prefixed vocab
     assert encode_string("5", VOCABS["latin"]) == [5]
     assert encode_string("५", VOCABS["hindi"])[0] == len(VOCABS["hindi_letters"]) + 5
+
+
+def test_eos_decode_vitstr_and_sar_semantics():
+    """The parallel (non-CTC) postprocessor family, reference semantics:
+    ViTSTR conf = mean max-softmax over the first len(word) positions
+    (vitstr/pytorch.py:155-180); SAR conf = min max-softmax over ALL
+    positions including <eos>/padding (sar/pytorch.py:309-333)."""
+    from doctr_spark.functions.vocabs import FONT
+    from doctr_spark.operators.recognition import eos_decode, softmax
+
+    v = len(FONT)
+    L = 6
+    logits = np.zeros((L, v + 2))
+    a, b = FONT.index("A"), FONT.index("B")
+    logits[0, a] = 9.0
+    logits[1, b] = 5.0  # weaker second char -> lower per-position prob
+    logits[2:, v] = 9.0  # <eos> + padding
+    (w_mean, c_mean), = eos_decode(logits, FONT, conf="mean")
+    (w_min, c_min), = eos_decode(logits, FONT, conf="min")
+    assert w_mean == w_min == "AB"
+    sm = softmax(logits[None], axis=-1).max(axis=-1)[0]
+    assert np.isclose(c_mean, sm[:2].mean())  # word-length slice only
+    assert np.isclose(c_min, sm.min())  # all positions, incl. eos/pad
+    assert c_min < c_mean  # the weak 'B' position drags the min below the mean
+
+
+def test_eos_decode_empty_word_and_sos_render():
+    from doctr_spark.functions.vocabs import FONT
+    from doctr_spark.operators.recognition import eos_decode
+
+    v = len(FONT)
+    # eos at position 0 -> empty word; ViTSTR pins conf to 0.0
+    logits = np.zeros((3, v + 2))
+    logits[:, v] = 9.0
+    assert eos_decode(logits, FONT, conf="mean") == [("", 0.0)]
+    # a predicted <sos> before eos renders as the literal token string,
+    # exactly like the reference's embedding join
+    logits2 = np.zeros((3, v + 2))
+    logits2[0, FONT.index("A")] = 9.0
+    logits2[1, v + 1] = 9.0  # <sos>
+    logits2[2, v] = 9.0
+    (w, _), = eos_decode(logits2, FONT, conf="mean")
+    assert w == "A<sos>"
+
+
+def test_indices_to_eos_logits_roundtrip_every_char():
+    from doctr_spark.functions.vocabs import FONT, encode_string
+    from doctr_spark.operators.recognition import eos_decode, indices_to_eos_logits
+
+    for word in ("A", "KILO", "A+B=C", "100%", FONT[:20]):
+        got_mean = eos_decode(indices_to_eos_logits(encode_string(word, FONT)), FONT, "mean")
+        got_min = eos_decode(indices_to_eos_logits(encode_string(word, FONT)), FONT, "min")
+        assert got_mean[0][0] == word
+        assert got_min[0][0] == word
+        assert got_mean[0][1] > 0.99 and got_min[0][1] > 0.99
+
+    with pytest.raises(ValueError, match="max_length"):
+        indices_to_eos_logits(list(range(40)), FONT, max_length=32)
+
+
+def test_parallel_recognizers_through_the_seam(spark):
+    """extract_turns per-turn equality through BOTH non-CTC recognizer
+    variants (ViTSTR-mean and SAR-min postprocessors)."""
+    from pyspark.sql import functions as F
+
+    from doctr_spark.plans.models import SAR_RECOGNIZER, VITSTR_RECOGNIZER
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.sources.corpus import make_transcripts
+
+    gen = make_transcripts(spark, 2, partitions=2, ocr_ratio=1.0, html_ratio=0.0)
+    inp = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    exp = gen.select("conv_id", "turn_idx", "expected_text")
+    for rec in (VITSTR_RECOGNIZER, SAR_RECOGNIZER):
+        m = extract_turns(inp, recognizer=rec).join(exp, ["conv_id", "turn_idx"])
+        n_total = m.count()
+        n_exact = m.filter(F.col("extracted_text") == F.col("expected_text")).count()
+        assert n_total > 0 and n_exact == n_total, rec[0]
