@@ -70,7 +70,10 @@ def _collect_sample(
     """Deterministic bounded sample: xxhash64-ranked ids (a seeded uniform
     draw that needs no table count), collected id-sorted. At 100 TB this is
     a full scan of two slim columns — amortized against the training it
-    seeds — and the driver holds <= sample_rows vectors."""
+    seeds — and the driver holds <= sample_rows vectors. orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition top-K merged on the
+    driver), NOT a global sort — no corpus shuffle; plan-guarded in
+    tests/test_plans.py."""
     sampled = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(41)))

@@ -136,3 +136,23 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
+
+
+@needs_data
+def test_kmeans_sampler_is_top_k_not_global_sort(spark):
+    """kmeans_fit's init sample (orderBy hash + limit) must compile to
+    TakeOrderedAndProject — per-partition top-K merged on the driver —
+    never a full global Sort+Exchange, or sampling a 100 TB corpus would
+    shuffle the corpus to rank it."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sampled = (
+        emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+        .withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(41)))
+        .orderBy("_h", "_id")
+        .limit(4096)
+    )
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
