@@ -96,16 +96,26 @@ def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
     return e / e.sum(axis=axis, keepdims=True)
 
 
-def ctc_best_path(logits: np.ndarray, vocab: str = FONT) -> list[tuple[str, float]]:
-    """Greedy CTC decode of (N, T, V+1) logits; blank index = len(vocab).
+def ctc_best_path(
+    logits: np.ndarray, vocab: str = FONT, blank: int | None = None
+) -> list[tuple[str, float]]:
+    """Greedy CTC decode of (N, T, V+1) logits.
 
     Returns (word, confidence) with confidence = min over time of the max
-    softmax probability.
+    softmax probability (reference crnn/pytorch.py decode; identical conf
+    rule in viptr/pytorch.py:51-68).
+
+    ``blank`` defaults to ``len(vocab)`` (the CRNN convention, and what
+    VIPTR's __call__ passes too — viptr/pytorch.py:78-90); a custom blank
+    index is filtered from the collapsed path with the remaining class
+    indices mapping straight into ``vocab``, exactly like the reference's
+    parameterized ``ctc_best_path(…, blank=…)`` (viptr/pytorch.py:50-76).
     """
     arr = np.asarray(logits, dtype=np.float64)
     if arr.ndim == 2:
         arr = arr[None]
-    blank = len(vocab)
+    if blank is None:
+        blank = len(vocab)
     probs = softmax(arr, axis=-1).max(axis=-1).min(axis=-1)  # (N,)
     paths = arr.argmax(axis=-1)  # (N, T)
     out = []

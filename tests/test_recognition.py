@@ -248,3 +248,28 @@ def test_parallel_recognizers_through_the_seam(spark):
         n_total = m.count()
         n_exact = m.filter(F.col("extracted_text") == F.col("expected_text")).count()
         assert n_total > 0 and n_exact == n_total, rec[0]
+
+
+def test_ctc_best_path_custom_blank_index():
+    """VIPTR-style parameterized blank: a non-default blank index is
+    filtered from the collapsed path with class indices mapping straight
+    into vocab (reference viptr/pytorch.py:50-76)."""
+    from doctr_spark.functions.vocabs import FONT
+    from doctr_spark.operators.recognition import ctc_best_path
+
+    v = len(FONT)
+    c, d = FONT.index("C"), FONT.index("D")
+    # chars with nonzero indices so blank=0 never collides with a real class
+    assert c != 0 and d != 0
+    T = 5
+    logits = np.full((T, v + 1), -5.0)
+    for t, k in enumerate([0, c, c, 0, d]):
+        logits[t, k] = 5.0
+    (w0, _), = ctc_best_path(logits, FONT, blank=0)
+    assert w0 == "CD"
+    # default blank (len(vocab)) treats index 0 as a real class
+    logits2 = np.full((3, v + 1), -5.0)
+    for t, k in enumerate([0, v, c]):
+        logits2[t, k] = 5.0
+    (w1, _), = ctc_best_path(logits2, FONT)
+    assert w1 == FONT[0] + "C"
