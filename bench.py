@@ -116,10 +116,15 @@ def run_queries(spark) -> dict[str, float]:
         "knn_cosine",
         "ann_lsh",
         "ann_ivf",
+        "ann_ivf_trained",
+        "kmeans_cells",
+        "semantic_dedup",
         "emb_neardup_lsh",
         "asof_join",
         "lm_perplexity",
         "decontaminate",
+        "detector_zoo",
+        "recognizer_zoo",
         "cube_events",
         "pricing_summary",
         "revenue_by_nation",
