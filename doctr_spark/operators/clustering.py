@@ -81,6 +81,8 @@ def _collect_sample(
         .limit(sample_rows)
     )
     pdf = sampled.orderBy("_id").select("_id", "_v").toPandas()
+    if len(pdf) == 0:
+        raise ValueError("kmeans_fit: input has no rows to sample")
     mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
     if mat.shape[1] != dim:
         raise ValueError(f"expected dim={dim}, sample has dim={mat.shape[1]}")

@@ -112,3 +112,9 @@ def test_kmeans_balanced_cells_on_corpus(spark):
     assert len(st) == 16
     assert int(st["n_rows"].sum()) == 500
     assert st["n_rows"].max() <= 2 * (500 / 16)
+
+
+def test_kmeans_empty_corpus_raises_cleanly(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no rows"):
+        kmeans_fit(df, k=2, dim=8)
