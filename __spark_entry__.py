@@ -447,6 +447,57 @@ def _q_recognizer_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames[0].unionByName(frames[1])
 
 
+def _q_reco_weights_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn equality through ALL FIVE non-CRNN recognizer families with
+    committed real weights (models_data/tiny_reco_zoo_v1.npz) via the
+    pluggable seam: SAR's recurrent-attention decoder, MASTER's AR
+    transformer decoder (2-head class-split cross-attention + FFN),
+    ViTSTR's encoder-only self-attention readout, PARSeq's position-query
+    AR + cloze refinement, and VIPTR's blank-first parameterized-blank CTC
+    (plans/tiny_reco_zoo.py; reference recognition/{sar,master,vitstr,
+    parseq,viptr}/pytorch.py). Invariant: n_exact == n_turns for every
+    family — extraction output is recognizer-architecture-independent."""
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.plans.tiny_reco_zoo import ALL_RECO_VARIANTS
+    from doctr_spark.sources.corpus import make_transcripts
+
+    gen = make_transcripts(spark, 3, partitions=2, ocr_ratio=1.0, html_ratio=0.0)
+    inp = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    exp = gen.select("conv_id", "turn_idx", "expected_text")
+    frames = []
+    for name, factory in ALL_RECO_VARIANTS:
+        m = extract_turns(inp, recognizer=factory()).join(exp, ["conv_id", "turn_idx"])
+        frames.append(
+            m.agg(
+                F.count("*").alias("n_turns"),
+                F.sum(
+                    (F.col("extracted_text") == F.col("expected_text")).cast("long")
+                ).alias("n_exact"),
+            ).select(F.lit(name).alias("recognizer"), "n_turns", "n_exact")
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+_RECO_WEIGHTS_ZOO_ORACLE = """
+-- turn counts pinned by the deterministic generator (first 3 convs of the
+-- extract_ocr fixture: 12+3+13 = 28); the invariant under test is
+-- n_exact == n_turns through all five committed-weights recognizer
+-- families (SAR / MASTER / ViTSTR / PARSeq / VIPTR)
+SELECT recognizer, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_exact AS BIGINT) AS n_exact
+FROM (VALUES
+  ('sar', 28, 28),
+  ('master', 28, 28),
+  ('vitstr', 28, 28),
+  ('parseq', 28, 28),
+  ('viptr', 28, 28)
+) AS v(recognizer, n_turns, n_exact)
+"""
+
+
 _RECOGNIZER_ZOO_ORACLE = """
 -- turn counts pinned by the deterministic generator (first 4 convs of the
 -- extract_ocr fixture); the invariant under test is n_exact == n_turns
@@ -1097,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _q_ann_ivf_trained,
         "detector_zoo": _q_detector_zoo,
         "recognizer_zoo": _q_recognizer_zoo,
+        "reco_weights_zoo": _q_reco_weights_zoo,
         # --- representative green core (r02-verified, fills to position 49)
         "extract_docs": _q_extract_docs,
         "extract_ocr": _q_extract_ocr,
@@ -1108,7 +1160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_lines": EQ.q_resolve_lines,
         "detect_boxes": EQ.q_detect_boxes,
         "orientation": EQ.q_orientation,
-        "hocr_export": EQ.q_hocr_export,
         "sort_key_rank": EQ.q_sort_key_rank,
         "streaming_sessionize": _q_streaming_sessionize,
         "anomalies": EQ.q_anomalies,
@@ -1119,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         # --- past position 49: green in r01/r02, rotated out of the driver
         # window this round; still builder-checked (check_oracles.py)
+        "hocr_export": EQ.q_hocr_export,
         "translate_vocab": EQ.q_translate,
         "pricing_summary": EQ.q_pricing_summary,
         "token_stats": EQ.q_token_stats,
@@ -1215,6 +1267,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained": _ANN_IVF_TRAINED_ORACLE,
         "detector_zoo": _DETECTOR_ZOO_ORACLE,
         "recognizer_zoo": _RECOGNIZER_ZOO_ORACLE,
+        "reco_weights_zoo": _RECO_WEIGHTS_ZOO_ORACLE,
         "emb_neardup_lsh": _EMB_NEARDUP_LSH_ORACLE,
         "bundle_metadata": _BUNDLE_METADATA_ORACLE,
         "image_neardup": EQ.IMAGE_NEARDUP_ORACLE,

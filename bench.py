@@ -125,6 +125,7 @@ def run_queries(spark) -> dict[str, float]:
         "decontaminate",
         "detector_zoo",
         "recognizer_zoo",
+        "reco_weights_zoo",
         "cube_events",
         "pricing_summary",
         "revenue_by_nation",

@@ -99,6 +99,57 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def crop_cells(crop: np.ndarray, scale: int) -> np.ndarray | None:
+    """Trim a word crop to its ink bounds and stride-``scale`` subsample to
+    CELL space (the model's fixed input resolution — the analog of a CRNN's
+    resize-to-32px preprocessing). None when the crop holds no ink."""
+    if crop.size == 0:
+        return None
+    ink = (crop < 128) if crop.ndim == 2 else (crop.mean(axis=-1) < 128)
+    ys, xs = np.nonzero(ink)
+    if ys.size == 0:
+        return None
+    return np.ascontiguousarray(
+        ink[ys.min() : ys.max() + 1 : scale, xs.min() : xs.max() + 1 : scale]
+    ).astype(np.float64)
+
+
+def glyph_evidence(cells: np.ndarray, filters: np.ndarray, bias: np.ndarray) -> np.ndarray:
+    """Gated matched-filter conv stage shared by the committed-weights
+    recognizers: returns per-column glyph evidence E of shape (T, V) with
+    ``E[c, v] > 0`` iff the (kh, kw) window starting at padded column c
+    holds EXACTLY glyph v (score peaks at +0.5; any mismatch drops it to
+    <= -0.5; gated-invalid windows sit near -1e3).
+
+    The two validity gates kill real sub-glyph ambiguities (see the inline
+    comments); the vertical max-pool makes the evidence row-offset
+    invariant. This is the conv backbone every tiny-* recognizer variant
+    shares — the family-defining sequence modeling and decode layers differ
+    per variant (plans/tiny_reco_zoo.py)."""
+    kh, kw = filters.shape[1:]
+    g = np.pad(cells, ((kh - 1, kh - 1), (kw - 1, kw - 1)))
+    win = np.lib.stride_tricks.sliding_window_view(g, (kh, kw))  # (ny,nx,kh,kw)
+    scores = np.einsum("yxhw,vhw->yxv", win, filters)  # conv, all glyph channels
+    # local-evidence gate: a window may fire only when it holds ALL
+    # the ink of its 5-column span — otherwise a vertically/
+    # horizontally truncated slice of a big glyph is pixel-identical
+    # to a small one (the bottom two pixels of an 'A' stem ARE an
+    # apostrophe) and the matched filter would hallucinate it
+    win_count = win.sum(axis=(2, 3))  # (ny, nx)
+    colsum = g.sum(axis=0)
+    span = np.lib.stride_tricks.sliding_window_view(colsum, kw).sum(axis=-1)
+    # ...and the columns flanking the window must be blank (glyph
+    # separation): '<' is pixel-identical to a 'K' minus its left
+    # stem, so without the flank check the filter for '<' fires one
+    # column into every 'K'
+    edge = np.concatenate(([0.0], colsum, [0.0]))
+    flank_blank = (edge[: len(span)] == 0) & (edge[kw + 1 :] == 0)
+    valid = (win_count == span[None, :]) & flank_blank[None, :]
+    scores = np.where(valid[:, :, None], scores, -1e3)
+    col_scores = scores.max(axis=0)  # vertical max-pool -> (T, V)
+    return col_scores + bias
+
+
 def tiny_conv_detector(weights_path: str | None = None) -> ModelLoader:
     """(key, loader) for the tiny conv detection net; drop-in for the
     ``detector=`` seam of ``extract_turns``."""
@@ -144,7 +195,6 @@ def tiny_conv_recognizer(weights_path: str | None = None) -> ModelLoader:
         filters = w["rec_w"].astype(np.float64)  # (V, 7, 5)
         bias = w["rec_b"].astype(np.float64)  # (V,)
         temp = float(w["rec_temp"])
-        kh, kw = filters.shape[1:]
 
         def recognize(crops: list[np.ndarray], scale: int) -> list[tuple[str, float]]:
             out = []
@@ -153,40 +203,15 @@ def tiny_conv_recognizer(weights_path: str | None = None) -> ModelLoader:
             return out
 
         def _recognize_crop(crop: np.ndarray, scale: int) -> tuple[str, float]:
-            if crop.size == 0:
-                return ("", 0.0)
-            ink = (crop < 128) if crop.ndim == 2 else (crop.mean(axis=-1) < 128)
-            ys, xs = np.nonzero(ink)
-            if ys.size == 0:
-                return ("", 0.0)
             # stride-s subsample to cell space (the crop comes from the
             # renderer's pixel grid; this is the model's fixed input
             # resolution, the analog of a CRNN's resize-to-32px preproc)
-            cells = np.ascontiguousarray(
-                ink[ys.min() : ys.max() + 1 : scale, xs.min() : xs.max() + 1 : scale]
-            ).astype(np.float64)
-            g = np.pad(cells, ((kh - 1, kh - 1), (kw - 1, kw - 1)))
-            win = np.lib.stride_tricks.sliding_window_view(g, (kh, kw))  # (ny,nx,kh,kw)
-            scores = np.einsum("yxhw,vhw->yxv", win, filters)  # conv, all glyph channels
-            # local-evidence gate: a window may fire only when it holds ALL
-            # the ink of its 5-column span — otherwise a vertically/
-            # horizontally truncated slice of a big glyph is pixel-identical
-            # to a small one (the bottom two pixels of an 'A' stem ARE an
-            # apostrophe) and the matched filter would hallucinate it
-            win_count = win.sum(axis=(2, 3))  # (ny, nx)
-            colsum = g.sum(axis=0)
-            span = np.lib.stride_tricks.sliding_window_view(colsum, kw).sum(axis=-1)
-            # ...and the columns flanking the window must be blank (glyph
-            # separation): '<' is pixel-identical to a 'K' minus its left
-            # stem, so without the flank check the filter for '<' fires one
-            # column into every 'K'
-            edge = np.concatenate(([0.0], colsum, [0.0]))
-            flank_blank = (edge[: len(span)] == 0) & (edge[kw + 1 :] == 0)
-            valid = (win_count == span[None, :]) & flank_blank[None, :]
-            scores = np.where(valid[:, :, None], scores, -1e3)
-            col_scores = scores.max(axis=0)  # vertical max-pool -> (T, V)
+            cells = crop_cells(crop, scale)
+            if cells is None:
+                return ("", 0.0)
+            evidence = glyph_evidence(cells, filters, bias)  # (T, V)
             logits = np.concatenate(
-                [temp * (col_scores + bias), np.zeros((col_scores.shape[0], 1))], axis=1
+                [temp * evidence, np.zeros((evidence.shape[0], 1))], axis=1
             )  # blank channel logit 0
             return ctc_best_path(logits, vocab)[0]
 

@@ -2,6 +2,8 @@
 - doctr_spark/models_data/tiny_conv_v1.npz (plans/tiny_conv.py)
 - doctr_spark/models_data/tiny_zoo_v1.npz (plans/tiny_zoo.py — FAST
   multi-branch + LinkNet encoder-decoder detector variants)
+- doctr_spark/models_data/tiny_reco_zoo_v1.npz (plans/tiny_reco_zoo.py —
+  SAR/MASTER/ViTSTR/PARSeq/VIPTR recognizer family variants)
 
 Usage: python scripts/make_tiny_weights.py [out_path]
 (an explicit out_path writes only the tiny-conv file there)
@@ -32,6 +34,15 @@ def main() -> None:
         zoo = make_tiny_zoo_weights()
         np.savez(ZOO_WEIGHTS_PATH, **zoo)
         print(f"wrote {ZOO_WEIGHTS_PATH}: {sorted(zoo)}")
+
+        from doctr_spark.plans.tiny_reco_zoo import (
+            RECO_ZOO_WEIGHTS_PATH,
+            make_tiny_reco_zoo_weights,
+        )
+
+        reco = make_tiny_reco_zoo_weights()
+        np.savez(RECO_ZOO_WEIGHTS_PATH, **reco)
+        print(f"wrote {RECO_ZOO_WEIGHTS_PATH}: {sorted(reco)}")
 
 
 if __name__ == "__main__":
