@@ -319,20 +319,23 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a TRAINED k-means codebook (vs ann_ivf's seeded
-    stand-in): recall@5 vs the exact cosine twin with a per-query floor.
-    Trained cells raise measured recall at equal probe fraction (0.54 vs
-    0.50 seeded at nprobe=4; run here at nprobe=6 -> 0.66) and — the real
-    scale property — keep cell occupancy balanced on clustered corpora
-    where seeded centroids would skew the probe join."""
+    stand-in) with assign=2 boundary spill: recall@5 vs the exact cosine
+    twin with a per-query floor. Trained cells raise recall at equal probe
+    fraction over seeded ones (0.54 vs 0.50 single-assign at nprobe=4) and
+    keep cell occupancy balanced on clustered corpora; the corpus-side
+    top-2 cell assignment then lifts recall across Voronoi boundaries at
+    unchanged query-time probe fraction: at nprobe=6/16, recall@5 goes
+    0.66 single-assign -> 0.82 at assign=2 (floor 3/5), for a 2x index
+    that is still built in the same single corpus scan."""
     from doctr_spark.operators.clustering import kmeans_fit
     from doctr_spark.operators.similarity import ann_ivf_topk, cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = kmeans_fit(emb, k=16, dim=64, n_iter=5)
     q = emb.filter(F.col("vec_id") < 10)
-    ann = ann_ivf_topk(emb, q, k=5, nprobe=6, dim=64, centroids=cents)
+    ann = ann_ivf_topk(emb, q, k=5, nprobe=6, dim=64, centroids=cents, assign=2)
     exact = cosine_topk(emb, q, k=5)
-    return _ann_recall_vs_exact(ann, exact, floor_hits=2)
+    return _ann_recall_vs_exact(ann, exact, floor_hits=3)
 
 
 def _q_tiny_conv_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -865,23 +868,24 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_rows,
 """
 
 _ANN_IVF_TRAINED_ORACLE = """
--- measured recall@5 of IVF over the TRAINED k-means codebook vs the exact
--- cosine twin; per-query hits pinned (deterministic codebook), floor_ok
--- asserts the >= 2/5 per-query floor. Aggregate recall 33/50 = 0.66 at
--- nprobe 6/16 (seeded codebook: 0.50 at nprobe 4/16).
+-- measured recall@5 of IVF over the TRAINED k-means codebook with
+-- assign=2 boundary spill vs the exact cosine twin; per-query hits pinned
+-- (deterministic codebook), floor_ok asserts the >= 3/5 per-query floor.
+-- Aggregate recall 41/50 = 0.82 at nprobe 6/16, assign 2 (single-assign
+-- same nprobe: 0.66; seeded codebook single-assign nprobe 4/16: 0.50).
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(k_exact AS BIGINT) AS k_exact,
        CAST(n_ann AS BIGINT) AS n_ann, CAST(n_hits AS BIGINT) AS n_hits,
        CAST(floor_ok AS BOOLEAN) AS floor_ok
 FROM (VALUES
-  (0, 5, 5, 2, TRUE),
-  (1, 5, 5, 3, TRUE),
-  (2, 5, 5, 2, TRUE),
+  (0, 5, 5, 3, TRUE),
+  (1, 5, 5, 4, TRUE),
+  (2, 5, 5, 3, TRUE),
   (3, 5, 5, 4, TRUE),
-  (4, 5, 5, 4, TRUE),
-  (5, 5, 5, 2, TRUE),
-  (6, 5, 5, 3, TRUE),
+  (4, 5, 5, 5, TRUE),
+  (5, 5, 5, 3, TRUE),
+  (6, 5, 5, 4, TRUE),
   (7, 5, 5, 5, TRUE),
-  (8, 5, 5, 3, TRUE),
+  (8, 5, 5, 5, TRUE),
   (9, 5, 5, 5, TRUE)
 ) AS v(query_id, k_exact, n_ann, n_hits, floor_ok)
 """

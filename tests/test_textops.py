@@ -234,6 +234,25 @@ def test_ann_ivf_finds_copy(spark, vectors):
     assert all(r["query_id"] == 0 for r in out)
 
 
+def test_ann_ivf_multi_assign_superset(spark, vectors):
+    """assign=2 boundary spill: candidates are a superset of single
+    assignment at the same nprobe (each corpus row is in its argmax cell
+    plus one more), with no duplicate (query, neighbor) rows."""
+    from doctr_spark.operators.similarity import ann_ivf_topk
+
+    queries = vectors.filter(F.col("vec_id") < 3)
+    k = 50  # >= corpus size: top-k returns ALL candidates, so the result
+    # sets compare candidate coverage directly
+    single = ann_ivf_topk(vectors, queries, k=k, n_centroids=4, nprobe=2, dim=16)
+    spill = ann_ivf_topk(vectors, queries, k=k, n_centroids=4, nprobe=2, dim=16, assign=2)
+    s1 = {(r["query_id"], r["neighbor_id"]) for r in single.collect()}
+    rows2 = spill.collect()
+    s2 = {(r["query_id"], r["neighbor_id"]) for r in rows2}
+    assert s1 <= s2
+    assert len(s2) > len(s1)  # the fixture has cross-boundary neighbors
+    assert len(rows2) == len(s2)  # multi-cell duplicates collapsed
+
+
 def test_embedding_neardup_exact_matches_numpy(spark, vectors):
     from doctr_spark.operators.similarity import embedding_near_duplicates
 
