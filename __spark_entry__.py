@@ -338,6 +338,35 @@ def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_vs_exact(ann, exact, floor_hits=3)
 
 
+_BM25_QUERIES = [
+    (0, "spark window agg"),
+    (1, "hash join table part"),
+    (2, "stream filter sort batch"),
+]
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents corpus (inverted-index
+    access path expressed declaratively: one-scan postings build,
+    broadcast query-term probe filters postings map-side before any
+    shuffle, all-JVM scoring — operators/retrieval.py). The DuckDB twin
+    recomputes the identical tokenization + Lucene-style BM25 formula
+    end-to-end, so tf/df/avgdl statistics, scores (6dp) and the
+    (score DESC, doc_id) ranking are all verified."""
+    from doctr_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, qtext string")
+    out = bm25_topk(docs, q, k=10)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "score",
+        F.col("n_terms").cast("long").alias("n_terms"),
+    )
+
+
 def _q_tiny_conv_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused OCR extraction through the pluggable model seam with a REAL
     weights file: detector = 2-layer sigmoid-conv net, recognizer =
@@ -1153,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detector_zoo": _q_detector_zoo,
         "recognizer_zoo": _q_recognizer_zoo,
         "reco_weights_zoo": _q_reco_weights_zoo,
+        "bm25_topk": _q_bm25_topk,
         # --- representative green core (r02-verified, fills to position 49)
         "extract_docs": _q_extract_docs,
         "extract_ocr": _q_extract_ocr,
@@ -1164,7 +1194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_lines": EQ.q_resolve_lines,
         "detect_boxes": EQ.q_detect_boxes,
         "orientation": EQ.q_orientation,
-        "sort_key_rank": EQ.q_sort_key_rank,
         "streaming_sessionize": _q_streaming_sessionize,
         "anomalies": EQ.q_anomalies,
         "exact_dedup": EQ.q_exact_dedup_summary,
@@ -1174,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         # --- past position 49: green in r01/r02, rotated out of the driver
         # window this round; still builder-checked (check_oracles.py)
+        "sort_key_rank": EQ.q_sort_key_rank,
         "hocr_export": EQ.q_hocr_export,
         "translate_vocab": EQ.q_translate,
         "pricing_summary": EQ.q_pricing_summary,
@@ -1210,7 +1240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from doctr_spark.operators.retrieval import bm25_topk_sql
+
     return {
+        "bm25_topk": bm25_topk_sql("documents", _BM25_QUERIES, k=10),
         "extract_docs": _EXTRACT_DOCS_ORACLE,
         "conversation_docs": EQ.CONVERSATION_DOCS_ORACLE,
         "merge_strings": EQ.MERGE_ORACLE,

@@ -123,6 +123,7 @@ def run_queries(spark) -> dict[str, float]:
         "asof_join",
         "lm_perplexity",
         "decontaminate",
+        "bm25_topk",
         "detector_zoo",
         "recognizer_zoo",
         "reco_weights_zoo",
