@@ -367,6 +367,18 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span dedup (Lee et al. exact-substring pass, word-
+    level): corpus-duplicated 8-gram spans merged per document via a
+    running-max gaps-and-islands window (operators/spans.py). The DuckDB
+    twin recomputes the full pipeline on raw gram strings (no hashing),
+    so the Spark side's xxhash64 join keys are also collision-checked."""
+    from doctr_spark.operators.spans import duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_spans(docs, n=8, min_count=2)
+
+
 def _q_tiny_conv_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused OCR extraction through the pluggable model seam with a REAL
     weights file: detector = 2-layer sigmoid-conv net, recognizer =
@@ -1183,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recognizer_zoo": _q_recognizer_zoo,
         "reco_weights_zoo": _q_reco_weights_zoo,
         "bm25_topk": _q_bm25_topk,
+        "span_dedup": _q_span_dedup,
         # --- representative green core (r02-verified, fills to position 49)
         "extract_docs": _q_extract_docs,
         "extract_ocr": _q_extract_ocr,
@@ -1191,7 +1204,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctc_decode": EQ.q_ctc_decode,
         "html_strip": EQ.q_html_strip,
         "reading_order": EQ.q_reading_order,
-        "resolve_lines": EQ.q_resolve_lines,
         "detect_boxes": EQ.q_detect_boxes,
         "orientation": EQ.q_orientation,
         "streaming_sessionize": _q_streaming_sessionize,
@@ -1204,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past position 49: green in r01/r02, rotated out of the driver
         # window this round; still builder-checked (check_oracles.py)
         "sort_key_rank": EQ.q_sort_key_rank,
+        "resolve_lines": EQ.q_resolve_lines,
         "hocr_export": EQ.q_hocr_export,
         "translate_vocab": EQ.q_translate,
         "pricing_summary": EQ.q_pricing_summary,
@@ -1241,9 +1254,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from doctr_spark.operators.retrieval import bm25_topk_sql
+    from doctr_spark.operators.spans import duplicated_spans_sql
 
     return {
         "bm25_topk": bm25_topk_sql("documents", _BM25_QUERIES, k=10),
+        "span_dedup": duplicated_spans_sql("documents", n=8, min_count=2),
         "extract_docs": _EXTRACT_DOCS_ORACLE,
         "conversation_docs": EQ.CONVERSATION_DOCS_ORACLE,
         "merge_strings": EQ.MERGE_ORACLE,

@@ -124,6 +124,7 @@ def run_queries(spark) -> dict[str, float]:
         "lm_perplexity",
         "decontaminate",
         "bm25_topk",
+        "span_dedup",
         "detector_zoo",
         "recognizer_zoo",
         "reco_weights_zoo",

@@ -1,0 +1,135 @@
+"""Real `spark-submit --py-files` proof run at two cluster sizes.
+
+The north rule requires the pipeline to run via `spark-submit --py-files`
+at two cluster sizes (N and 4N executors) with >=0.8 throughput scaling
+efficiency. This sandbox has no multi-node cluster, so the accepted
+stand-in (BASELINE.md) is the same packaged job at two parallelism levels
+on the same input. This script makes that proof REAL spark-submit, not an
+in-process session:
+
+1. zips ``doctr_spark/`` (weights included) into a ``--py-files`` archive;
+2. stages ``run_extraction.py`` into a neutral directory OUTSIDE the repo
+   and launches from there, so neither the driver nor the Python workers
+   can import the package from cwd/sys.path — every import resolves from
+   the submitted zip, exactly as on a cluster;
+3. generates one fixed transcript corpus, then runs the identical
+   checkpointed extraction job (fresh output dir each leg) at
+   ``--master local[N]`` and ``local[4N]``;
+4. prints one JSON line with per-leg turns/sec and the efficiency ratio.
+
+Usage: python scripts/submit_scaling.py [--convs 8000] [--lo 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip(stage: str) -> str:
+    zpath = os.path.join(stage, "doctr_spark")
+    return shutil.make_archive(zpath, "zip", root_dir=REPO, base_dir="doctr_spark")
+
+
+def gen_corpus(stage: str, n_convs: int) -> str:
+    """Generate the fixed input once, with the repo on sys.path (generation
+    is test scaffolding, not the packaged job under proof)."""
+    sys.path.insert(0, REPO)
+    from doctr_spark.session import get_spark
+    from doctr_spark.sources.corpus import make_transcripts
+
+    in_dir = os.path.join(stage, "input")
+    spark = get_spark(cores=8, app_name="submit-proof-gen")
+    try:
+        gen = make_transcripts(spark, n_convs, partitions=64, long_every=200, long_turns=96)
+        gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts").write.mode(
+            "overwrite"
+        ).parquet(in_dir)
+    finally:
+        spark.stop()
+    return in_dir
+
+
+def submit_leg(stage: str, zip_path: str, in_dir: str, cores: int, attempt: int = 0) -> dict:
+    script = os.path.join(stage, "run_extraction.py")
+    out_dir = os.path.join(stage, f"out_{cores}_{attempt}")
+    env = dict(os.environ, SPARK_SUBMIT_MODE="1", DOCTR_SPARK_WARMUP="1")
+    # drop any inherited repo path so the zip is the only import source
+    env.pop("PYTHONPATH", None)
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", "24g",
+        "--py-files", zip_path,
+        "--conf", f"spark.sql.shuffle.partitions={max(cores, 8)}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=1024",
+        "--conf", "spark.ui.enabled=false",
+        script,
+        "--input", in_dir,
+        "--output", out_dir,
+        "--buckets", "64",
+    ]
+    proc = subprocess.run(
+        cmd, cwd=stage, env=env, capture_output=True, text=True, timeout=1800
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:] + "\n")
+        raise SystemExit(f"spark-submit leg local[{cores}] failed")
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=16000)
+    ap.add_argument("--lo", type=int, default=2, help="N; the second leg runs 4N")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    stage = tempfile.mkdtemp(prefix="doctr_submit_proof_")
+    try:
+        shutil.copy(os.path.join(REPO, "scripts", "run_extraction.py"), stage)
+        zip_path = build_zip(stage)
+        in_dir = gen_corpus(stage, args.convs)
+        legs = {}
+        # best-of-2 fresh-JVM runs per leg, interleaved (co-tenant bursts
+        # on this box last minutes; interleaving means a burst must span
+        # both passes to corrupt the ratio — same protocol as bench.py)
+        for attempt in range(2):
+            for cores in (args.lo, args.lo * 4):
+                r = submit_leg(stage, zip_path, in_dir, cores, attempt)
+                if cores not in legs or r["turns_per_sec"] > legs[cores]["turns_per_sec"]:
+                    legs[cores] = r
+        lo, hi = args.lo, args.lo * 4
+        eff = (legs[hi]["turns_per_sec"] / legs[lo]["turns_per_sec"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "mode": "spark-submit --py-files (staged outside repo)",
+                    "convs": args.convs,
+                    "turns": legs[lo]["turns"],
+                    "cores_lo": lo,
+                    "cores_hi": hi,
+                    "tps_lo": legs[lo]["turns_per_sec"],
+                    "tps_hi": legs[hi]["turns_per_sec"],
+                    "efficiency": round(eff, 3),
+                }
+            )
+        )
+    finally:
+        if not args.keep:
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
