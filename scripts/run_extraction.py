@@ -77,9 +77,10 @@ def main() -> None:
 
     t0 = time.time()
     summary = run_extraction_checkpointed(spark, transcripts, out_dir, buckets=args.buckets, grouped=not args.per_bucket_scan)
+    dt = time.time() - t0  # the job itself: extraction + result/manifest writes
+    # read-back row count is post-run verification, not pipeline work
     res = read_extraction_results(spark, out_dir)
     n = res.count()
-    dt = time.time() - t0
     print(
         json.dumps(
             {
