@@ -379,6 +379,19 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs, n=8, min_count=2)
 
 
+def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-classifier inference (fastText/CCNet-style quality
+    filter): broadcast committed weight table joined against the exploded
+    token stream, map-side-combined per-doc mean, sigmoid + threshold —
+    all JVM (operators/classifier.py). The DuckDB twin inlines the same
+    weight table as VALUES and recomputes tokenization, averaging,
+    sigmoid, rounding and label end-to-end."""
+    from doctr_spark.operators.classifier import classify_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return classify_quality(docs)
+
+
 def _q_tiny_conv_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused OCR extraction through the pluggable model seam with a REAL
     weights file: detector = 2-layer sigmoid-conv net, recognizer =
@@ -1196,10 +1209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reco_weights_zoo": _q_reco_weights_zoo,
         "bm25_topk": _q_bm25_topk,
         "span_dedup": _q_span_dedup,
+        "classifier_score": _q_classifier_score,
         # --- representative green core (r02-verified, fills to position 49)
         "extract_docs": _q_extract_docs,
         "extract_ocr": _q_extract_ocr,
-        "conversation_docs": EQ.q_conversation_docs,
         "merge_strings": EQ.q_merge_strings,
         "ctc_decode": EQ.q_ctc_decode,
         "html_strip": EQ.q_html_strip,
@@ -1217,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window this round; still builder-checked (check_oracles.py)
         "sort_key_rank": EQ.q_sort_key_rank,
         "resolve_lines": EQ.q_resolve_lines,
+        "conversation_docs": EQ.q_conversation_docs,
         "hocr_export": EQ.q_hocr_export,
         "translate_vocab": EQ.q_translate,
         "pricing_summary": EQ.q_pricing_summary,
@@ -1255,10 +1269,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from doctr_spark.operators.retrieval import bm25_topk_sql
     from doctr_spark.operators.spans import duplicated_spans_sql
+    from doctr_spark.operators.classifier import classify_quality_sql
 
     return {
         "bm25_topk": bm25_topk_sql("documents", _BM25_QUERIES, k=10),
         "span_dedup": duplicated_spans_sql("documents", n=8, min_count=2),
+        "classifier_score": classify_quality_sql("documents"),
         "extract_docs": _EXTRACT_DOCS_ORACLE,
         "conversation_docs": EQ.CONVERSATION_DOCS_ORACLE,
         "merge_strings": EQ.MERGE_ORACLE,

@@ -125,6 +125,7 @@ def run_queries(spark) -> dict[str, float]:
         "decontaminate",
         "bm25_topk",
         "span_dedup",
+        "classifier_score",
         "detector_zoo",
         "recognizer_zoo",
         "reco_weights_zoo",
@@ -160,11 +161,12 @@ def scaling_run(corpus_dir: str, cores: int, repeat: int | None = None) -> float
     from doctr_spark.session import get_spark
 
     if repeat is None:
-        # work scales with cores so every leg runs ~15-25s wall: short jobs
-        # at high parallelism measure scheduler+worker startup, not the op
-        # (doubled in r3 — the 2x-faster extraction kernel halved leg
-        # durations, letting fixed overheads back into the measurement)
-        repeat = max(3, (cores * 3) // 2)
+        # work scales with cores so every leg runs ~25-35s wall: short jobs
+        # at high parallelism measure scheduler+worker startup, not the op,
+        # and short legs at ANY parallelism sample co-tenant bursts instead
+        # of averaging over them (2x in r2, 2x again late r3 after a 9s
+        # 2-core leg produced a 25% tps swing between clean visits)
+        repeat = max(6, cores * 3)
     spark = get_spark(cores=cores, app_name=f"bench-scale-{cores}")
     try:
         inp = spark.read.parquet(corpus_dir).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
@@ -258,15 +260,24 @@ def main() -> None:
         # in the adjacent exclusive run, flipping 2->8 from 0.89 to 0.71);
         # with three visits a burst must span ~15 minutes to corrupt a level
         levels = sorted({max(2, CPUS // 16), max(2, CPUS // 4), CPUS})
-        tps = {c: 0.0 for c in levels}
+        rounds: list[dict[int, float]] = []
         for _ in range(3):
-            for c in levels:
-                tps[c] = max(tps[c], scaling_run(corpus_dir, c))
+            rounds.append({c: scaling_run(corpus_dir, c) for c in levels})
+        tps = {c: max(r[c] for r in rounds) for c in levels}
         ceiling = _busyloop_scaling(levels)
         page_ceiling = _busyloop_scaling(levels, fn=_burn_page, n=400)
         pairs = []
         for lo, hi in zip(levels, levels[1:]):
-            eff = (tps[hi] / tps[lo]) / (hi / lo)
+            # criterion estimator: MEDIAN of per-round paired ratios. The
+            # two legs of one round run minutes apart and share co-tenant
+            # conditions, so their ratio cancels machine-state drift; the
+            # ratio of per-level bests (kept below for continuity) compares
+            # legs from different epochs of a shared box and swung +-0.1
+            # between identical runs. Median over 3 rounds tolerates one
+            # burst-poisoned round in either direction.
+            per_round = sorted((r[hi] / r[lo]) / (hi / lo) for r in rounds)
+            eff = per_round[len(per_round) // 2]
+            eff_best_levels = (tps[hi] / tps[lo]) / (hi / lo)
             ceil_eff = (ceiling[hi] / ceiling[lo]) / (hi / lo)
             page_eff = (page_ceiling[hi] / page_ceiling[lo]) / (hi / lo)
             pairs.append(
@@ -276,6 +287,8 @@ def main() -> None:
                     "tps_lo": round(tps[lo], 1),
                     "tps_hi": round(tps[hi], 1),
                     "efficiency": round(eff, 3),
+                    "efficiency_best_levels": round(eff_best_levels, 3),
+                    "efficiency_rounds": [round(e, 3) for e in per_round],
                     "hw_ceiling_efficiency": round(ceil_eff, 3),
                     "efficiency_vs_ceiling": round(eff / ceil_eff, 3),
                     # page-shaped numpy ceiling: adds the shared-socket DRAM
