@@ -379,17 +379,27 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs, n=8, min_count=2)
 
 
+# committed weight table for the classifier driver query, sized to the
+# synthetic documents corpus vocabulary so the label split is
+# discriminative (sf0.01: 372 True / 128 False, scores 0.44-0.58) —
+# exercising the pluggable-weights seam the operator is built around
+_CLS_WEIGHTS = (
+    [(t, 0.6) for t in "fast merge sort batch stream vector spark window".split()]
+    + [(t, -0.6) for t in "slow big scan filter row hash".split()]
+)
+
+
 def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear text-classifier inference (fastText/CCNet-style quality
-    filter): broadcast committed weight table joined against the exploded
-    token stream, map-side-combined per-doc mean, sigmoid + threshold —
-    all JVM (operators/classifier.py). The DuckDB twin inlines the same
-    weight table as VALUES and recomputes tokenization, averaging,
-    sigmoid, rounding and label end-to-end."""
+    filter): broadcast caller-supplied weight table joined against the
+    exploded token stream, map-side-combined per-doc mean, sigmoid +
+    threshold — all JVM (operators/classifier.py). The DuckDB twin
+    inlines the same weight table as VALUES and recomputes tokenization,
+    averaging, sigmoid, rounding and label end-to-end."""
     from doctr_spark.operators.classifier import classify_quality
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return classify_quality(docs)
+    return classify_quality(docs, weights=_CLS_WEIGHTS, bias=0.0, oov_weight=0.0)
 
 
 def _q_tiny_conv_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1274,7 +1284,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": bm25_topk_sql("documents", _BM25_QUERIES, k=10),
         "span_dedup": duplicated_spans_sql("documents", n=8, min_count=2),
-        "classifier_score": classify_quality_sql("documents"),
+        "classifier_score": classify_quality_sql("documents", weights=_CLS_WEIGHTS, bias=0.0, oov_weight=0.0),
         "extract_docs": _EXTRACT_DOCS_ORACLE,
         "conversation_docs": EQ.CONVERSATION_DOCS_ORACLE,
         "merge_strings": EQ.MERGE_ORACLE,
