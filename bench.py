@@ -169,18 +169,29 @@ def scaling_run(corpus_dir: str, cores: int, repeat: int | None = None) -> float
         repeat = max(6, cores * 3)
     spark = get_spark(cores=cores, app_name=f"bench-scale-{cores}")
     try:
-        inp = spark.read.parquet(corpus_dir).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        inp = spark.read.parquet(corpus_dir).select(*cols)
         n = inp.count()
-        big = inp
-        for _ in range(repeat - 1):
-            big = big.unionByName(inp)
+        # materialize the repeated input ONCE per level (cached across the
+        # interleaved rounds): the timed section is then a pure
+        # parquet-scan -> extract job with file-split-sized tasks. The
+        # earlier in-plan unionByName(repeat) put a 6-96 branch union into
+        # the timed plan — Catalyst/AQE planning and per-branch task floors
+        # grew with `repeat`, i.e. with the LEVEL, biasing high-core legs
+        big_dir = os.path.join(BENCH_TMP, f"scale_input_{cores}")
+        if not os.path.exists(os.path.join(big_dir, "_SUCCESS")):
+            big = inp
+            for _ in range(repeat - 1):
+                big = big.unionByName(inp)
+            big.write.mode("overwrite").parquet(big_dir)
+        binp = spark.read.parquet(big_dir).select(*cols)
         _noop_write(extract_turns(inp))  # warm codegen + python workers
         # best-of-2 timed runs: the scaling efficiency is the north-rule
         # criterion, and a single co-tenant burst in one leg would swing it
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            _noop_write(extract_turns(big))
+            _noop_write(extract_turns(binp))
             best = min(best, time.time() - t0)
         return n * repeat / best
     finally:
@@ -240,7 +251,8 @@ def main() -> None:
     try:
         build_corpus(spark, corpus_dir)
         result["extraction"] = timed_extraction(spark, corpus_dir)
-        result["queries"] = run_queries(spark)
+        if os.environ.get("SPARK_GRAFT_SUITE", "1") != "0":  # scaling-only debug runs
+            result["queries"] = run_queries(spark)
     finally:
         spark.stop()
 
