@@ -171,7 +171,6 @@ def scaling_run(corpus_dir: str, cores: int, repeat: int | None = None) -> float
     try:
         cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
         inp = spark.read.parquet(corpus_dir).select(*cols)
-        n = inp.count()
         # materialize the repeated input ONCE per level (cached across the
         # interleaved rounds): the timed section is then a pure
         # parquet-scan -> extract job with file-split-sized tasks. The
@@ -185,6 +184,10 @@ def scaling_run(corpus_dir: str, cores: int, repeat: int | None = None) -> float
                 big = big.unionByName(inp)
             big.write.mode("overwrite").parquet(big_dir)
         binp = spark.read.parquet(big_dir).select(*cols)
+        # numerator from the materialized files themselves, not n*repeat:
+        # a stale cache (crashed prior run + changed corpus size or repeat
+        # formula) would otherwise silently corrupt the tps ratio
+        n_big = binp.count()
         _noop_write(extract_turns(inp))  # warm codegen + python workers
         # best-of-2 timed runs: the scaling efficiency is the north-rule
         # criterion, and a single co-tenant burst in one leg would swing it
@@ -193,7 +196,7 @@ def scaling_run(corpus_dir: str, cores: int, repeat: int | None = None) -> float
             t0 = time.time()
             _noop_write(extract_turns(binp))
             best = min(best, time.time() - t0)
-        return n * repeat / best
+        return n_big / best
     finally:
         spark.stop()
 

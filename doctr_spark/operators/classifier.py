@@ -83,29 +83,33 @@ def classify_quality(
     if not isinstance(weights, DataFrame):
         weights = spark.createDataFrame(weights, "token string, w double")
 
-    toks = df.select(F.col(id_col).alias("_doc"), F.explode(tokenize_words(F.col(text_col))).alias("token"))
+    # explode_outer keeps one null-token row for token-free docs, so a
+    # single scan + one map-side-combined groupBy covers every document
+    # (no second scan / distinct / re-join); count("token") skips nulls,
+    # leaving those docs at the model prior
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode_outer(tokenize_words(F.col(text_col))).alias("token"),
+    )
     summed = (
         toks.join(F.broadcast(weights), "token", "left")
         .groupBy("_doc")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(F.coalesce(F.col("w"), F.lit(oov_weight))).alias("_wsum"),
+            F.count("token").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("token").isNotNull(), F.coalesce(F.col("w"), F.lit(oov_weight)))
+            ).alias("_wsum"),
         )
     )
-    # left join back so zero-token docs keep a row at the model prior
-    base = df.select(F.col(id_col).alias("_doc")).distinct()
     score = F.lit(1.0) / (
         F.lit(1.0)
         + F.exp(-(F.lit(bias) + F.coalesce(F.col("_wsum") / F.col("n_tokens"), F.lit(0.0))))
     )
-    return (
-        base.join(summed, "_doc", "left")
-        .select(
-            F.col("_doc").alias(id_col),
-            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
-            F.round(score, 6).alias("q_score"),
-            (F.round(score, 6) >= F.lit(threshold)).alias("q_label"),
-        )
+    return summed.select(
+        F.col("_doc").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("q_score"),
+        (F.round(score, 6) >= F.lit(threshold)).alias("q_label"),
     )
 
 

@@ -104,15 +104,20 @@ def bm25_topk(
         .groupBy("query_id", "_doc")
         .agg(F.sum("term_score").alias("score"), F.count("*").alias("n_terms"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("_doc"))
+    # rank over the ROUNDED score: the raw double sum is partial-
+    # aggregation-order dependent (1-ulp differences), so analytically
+    # tied docs could rank oppositely on an engine twin; rounding first
+    # makes the (score DESC, doc_id) order deterministic across engines
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("_doc"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("score_r", F.round(F.col("score"), 6))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
             F.col("_doc").alias(id_col),
             "rank",
-            F.round(F.col("score"), 6).alias("score"),
+            F.col("score_r").alias("score"),
             "n_terms",
         )
     )
@@ -172,7 +177,7 @@ scored AS (
   GROUP BY qt.query_id, h._doc
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(_doc AS BIGINT) AS doc_id,
-       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, _doc ASC) AS BIGINT) AS rank,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, _doc ASC) AS BIGINT) AS rank,
        round(score, 6) AS score,
        CAST(n_terms AS BIGINT) AS n_terms
 FROM scored

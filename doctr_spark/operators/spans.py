@@ -117,13 +117,16 @@ def strip_duplicated_spans(
     n_tokens_kept, n_tokens_dropped)``. Token positions covered by any
     duplicated span are dropped; survivors re-join with single spaces
     (tokenized text — same normalization the span detector saw). Docs
-    with no duplicated span pass through with ``n_tokens_dropped = 0``."""
+    with no duplicated span pass through with ``n_tokens_dropped = 0``,
+    including token-free docs (``clean_text = ''``)."""
     spans = duplicated_spans(df, id_col, text_col, n, min_count).select(
         F.col(id_col).alias("_doc"), "span_start", "span_end"
     )
     toks = (
         df.select(F.col(id_col).alias("_doc"), tokenize_words(F.col(text_col)).alias("ts"))
-        .select("_doc", F.posexplode("ts").alias("pos", "tok"))
+        # posexplode_outer keeps one (null, null) row for token-free docs
+        # so they survive to the output at (clean_text='', 0, 0)
+        .select("_doc", F.posexplode_outer("ts").alias("pos", "tok"))
     )
     dropped = (
         toks.join(
@@ -143,18 +146,22 @@ def strip_duplicated_spans(
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.filter(
-                        F.sort_array(
-                            F.collect_list(
-                                F.when(F.col("_drop").isNull(), F.struct("pos", "tok"))
+                    # collect_list drops the null entries (dropped or
+                    # token-free rows) on its own
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_drop").isNull() & F.col("tok").isNotNull(),
+                                F.struct("pos", "tok"),
                             )
-                        ),
-                        lambda s: s.isNotNull(),
+                        )
                     ),
                     lambda s: s["tok"],
                 ),
             ).alias("clean_text"),
-            F.sum(F.when(F.col("_drop").isNull(), 1).otherwise(0)).cast("long").alias("n_tokens_kept"),
+            F.sum(
+                F.when(F.col("_drop").isNull() & F.col("tok").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_tokens_kept"),
             F.sum(F.coalesce(F.col("_drop"), F.lit(0))).cast("long").alias("n_tokens_dropped"),
         )
         .select(F.col("_doc").alias(id_col), "clean_text", "n_tokens_kept", "n_tokens_dropped")

@@ -85,8 +85,11 @@ def submit_leg(stage: str, zip_path: str, in_dir: str, cores: int, attempt: int 
     if proc.returncode != 0:
         sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:] + "\n")
         raise SystemExit(f"spark-submit leg local[{cores}] failed")
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:] + "\n")
+        raise SystemExit(f"spark-submit leg local[{cores}] produced no JSON line")
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -83,6 +83,17 @@ def test_strip_removes_exactly_the_span_tokens(spark):
     assert out[3].clean_text == "unique document stays untouched through the strip pass entirely"
 
 
+def test_strip_keeps_token_free_docs(spark):
+    docs = _docs(
+        spark,
+        [(1, f"alpha beta {BOILER}"), (2, f"gamma delta {BOILER}"), (3, ""), (4, "!!! ---")],
+    )
+    out = {r.doc_id: r for r in strip_duplicated_spans(docs, n=8, min_count=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for d in (3, 4):
+        assert (out[d].clean_text, out[d].n_tokens_kept, out[d].n_tokens_dropped) == ("", 0, 0)
+
+
 def test_short_docs_below_n_are_ignored(spark):
     docs = _docs(spark, [(1, "short doc"), (2, "short doc")])
     assert duplicated_spans(docs, n=8, min_count=2).count() == 0
