@@ -88,7 +88,17 @@ def run_extraction_checkpointed(
             part = bucketed.filter(F.col("bucket").isin(todo)).drop("bucket")
             res = with_bucket(extract_turns(part), buckets)
             (
-                res.write.mode("overwrite")
+                # co-locate each bucket before the partitioned write: one
+                # shuffle of slim post-extraction text rows buys one file
+                # per bucket instead of tasks x buckets small files. The
+                # dynamic-overwrite commit moves files SERIALLY on the
+                # driver, so file count is a fixed serial cost that was
+                # strangling wide clusters (measured 32-core throughput
+                # 7.1k -> 19.1k cold / 24.7k warm turns/s on a 605k-turn
+                # corpus), and the
+                # 100 TB manifest/read-back side stays small-file-free
+                res.repartition(buckets, F.col("bucket"))
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket")
                 .parquet(results_dir)
