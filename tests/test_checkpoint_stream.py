@@ -253,6 +253,16 @@ def test_checkpoint_resume_grouped(spark, corpus, tmp_path_factory):
     assert manifest.filter(F.col("status") == "done").count() == 4
     assert manifest.agg(F.sum("n_turns")).collect()[0][0] == total
 
+    # one data file per bucket partition: the pre-write repartition on
+    # bucket is what keeps the dynamic-overwrite commit (which moves
+    # files SERIALLY on the driver) O(buckets), not O(tasks x buckets) —
+    # the wide-cluster scaling fix must not regress
+    import glob
+
+    for bdir in glob.glob(f"{out}/results/bucket=*"):
+        files = [f for f in glob.glob(f"{bdir}/*") if not f.endswith("_SUCCESS")]
+        assert len(files) == 1, f"{bdir}: {files}"
+
 
 def test_checkpoint_grouped_clears_stale_failed_partitions(spark, corpus, tmp_path_factory):
     """A crashed grouped run can leave rows in a bucket partition dir with
