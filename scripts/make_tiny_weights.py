@@ -44,6 +44,18 @@ def main() -> None:
         np.savez(RECO_ZOO_WEIGHTS_PATH, **reco)
         print(f"wrote {RECO_ZOO_WEIGHTS_PATH}: {sorted(reco)}")
 
+        from doctr_spark.plans.tiny_crnn import CRNN_WEIGHTS_PATH, make_tiny_crnn_weights
+
+        crnn = make_tiny_crnn_weights()
+        np.savez(CRNN_WEIGHTS_PATH, **crnn)
+        print(f"wrote {CRNN_WEIGHTS_PATH}: {sorted(crnn)}")
+
+        from doctr_spark.plans.tiny_dbnet import DBNET_WEIGHTS_PATH, make_tiny_dbnet_weights
+
+        dbnet = make_tiny_dbnet_weights()
+        np.savez(DBNET_WEIGHTS_PATH, **dbnet)
+        print(f"wrote {DBNET_WEIGHTS_PATH}: {sorted(dbnet)}")
+
 
 if __name__ == "__main__":
     main()
