@@ -454,6 +454,100 @@ FROM (VALUES
 """
 
 
+def _q_kie_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KIE predictor as a PIPELINE entry point (reference
+    models/kie_predictor/pytorch.py:69-182): extract_turns(kie=True) runs
+    the same fused det/reco stage but emits per-class reading-ordered
+    Prediction lists (``predictions`` map column) and the KIEDocument
+    render (``kie_text``). 8 generated single-page turns each carry one
+    email, url, date, number, symbol and two plain words; the query pins
+    per-class prediction totals AND exact kie_text render equality
+    against the generator-known layout."""
+    from doctr_spark.plans.pipeline import extract_turns
+
+    def gen(batches):
+        import datetime as dt
+
+        import pandas as pd
+
+        from doctr_spark.sources.font import render_page
+        from doctr_spark.sources.payloads import encode_page_bundle, tool_envelope
+
+        for pdf in batches:
+            rows = []
+            for raw in pdf["id"].tolist():
+                i = int(raw)
+                words = [
+                    f"USER{i}", f"{i}7", f"2026-01-1{i}", f"A{i}@B{i}.IO",
+                    f"HTTPS://X{i}.CO", "+=", "HELLO",
+                ]
+                img, _ = render_page(words, scale=3)
+                expected = "\n\n".join(
+                    [
+                        f"date: 2026-01-1{i}",
+                        f"email: A{i}@B{i}.IO",
+                        f"number: {i}7",
+                        "symbol: +=",
+                        f"url: HTTPS://X{i}.CO",
+                        f"word: USER{i}",
+                        "word: HELLO",
+                    ]
+                )
+                rows.append(
+                    {
+                        "conv_id": f"kie-{i:04d}",
+                        "turn_idx": 0,
+                        "role": "user",
+                        "text": "[attachment: 1 page(s)]",
+                        "tool": tool_envelope("page_bundle", encode_page_bundle([img], 3)),
+                        "ts": dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc),
+                        "expected_kie": expected,
+                    }
+                )
+            out = pd.DataFrame(rows)
+            out["ts"] = pd.to_datetime(out["ts"], utc=True)
+            yield out
+
+    src = spark.range(0, 8, 1, 4).mapInPandas(
+        gen,
+        schema="conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, expected_kie string",
+    )
+    out = extract_turns(src, kie=True).join(
+        src.select("conv_id", "expected_kie"), "conv_id"
+    )
+    totals = out.agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("kie_text") == F.col("expected_kie")).cast("long")).alias(
+            "n_render_exact"
+        ),
+    )
+    return (
+        out.select(F.explode("predictions").alias("cls", "preds"))
+        .groupBy("cls")
+        .agg(F.sum(F.size("preds")).alias("n_preds"))
+        .crossJoin(totals)
+    )
+
+
+_KIE_EXTRACT_ORACLE = """
+-- 8 generated pages, each with 1 date + 1 email + 1 number + 1 symbol +
+-- 1 url + 2 words; invariant: per-class totals match AND all 8 KIE
+-- renders equal the generator-known class-sorted reading-order string
+SELECT cls, CAST(n_preds AS BIGINT) AS n_preds,
+       CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_render_exact AS BIGINT) AS n_render_exact
+FROM (VALUES
+  ('date', 8, 8, 8),
+  ('email', 8, 8, 8),
+  ('number', 8, 8, 8),
+  ('symbol', 8, 8, 8),
+  ('url', 8, 8, 8),
+  ('word', 16, 8, 8)
+) AS v(cls, n_preds, n_turns, n_render_exact)
+"""
+
+
 def _q_dbnet_fpn_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn equality through the FLAGSHIP detector structure — the
     DBNet backbone -> 4-level top-down FPN -> prob head with committed
@@ -1257,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-4 queries (no prior driver row)
         "dbnet_fpn_ocr": _q_dbnet_fpn_ocr,
         "crnn_bilstm_ocr": _q_crnn_bilstm_ocr,
+        "kie_extract": _q_kie_extract,
         # --- the 35 queries last driver-verified in r01/r02 (rotated out
         # in r03), back inside the window so no row is >2 rounds old
         "sort_key_rank": EQ.q_sort_key_rank,
@@ -1359,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dbnet_fpn_ocr": _DBNET_FPN_OCR_ORACLE,
         "crnn_bilstm_ocr": _CRNN_BILSTM_OCR_ORACLE,
+        "kie_extract": _KIE_EXTRACT_ORACLE,
         "bm25_topk": bm25_topk_sql("documents", _BM25_QUERIES, k=10),
         "span_dedup": duplicated_spans_sql("documents", n=8, min_count=2),
         "classifier_score": classify_quality_sql("documents", weights=_CLS_WEIGHTS, bias=0.0, oov_weight=0.0),

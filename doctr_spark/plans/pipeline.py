@@ -52,6 +52,14 @@ EXTRACT_SCHEMA = (
     "error string"
 )
 
+# KIE route (reference models/kie_predictor): the same fused stage also
+# emits per-class flat prediction lists + the KIEDocument render
+EXTRACT_KIE_SCHEMA = EXTRACT_SCHEMA + (
+    ", predictions map<string, array<struct<value:string, confidence:double, "
+    "xmin:double, ymin:double, xmax:double, ymax:double, page_idx:int>>>, "
+    "kie_text string"
+)
+
 # a detected region is a non-text artefact when the ink fill of its
 # TRIMMED ink bbox exceeds the threshold AND the region is larger than a
 # couple of glyphs: the densest possible font words ('BBB', '###') trim
@@ -76,7 +84,8 @@ def extract_turn_ocr(
     recognizer=None,
     orienter=None,
     straighten_pages: bool = False,
-) -> tuple[str, int, int, int, float, list[dict], list[dict]]:
+    kie: bool = False,
+) -> tuple:
     """Decode a page bundle and run [orient ->] detect -> [hooks ->] crop ->
     recognize -> build per page.
 
@@ -98,7 +107,7 @@ def extract_turn_ocr(
     pages, scale = decode_page_bundle(bundle)
     return extract_pages_ocr(
         pages, scale, detect_orientation, detection_hooks, detector, recognizer, orienter,
-        straighten_pages=straighten_pages,
+        straighten_pages=straighten_pages, kie=kie,
     )
 
 
@@ -112,7 +121,8 @@ def extract_pages_ocr(
     orienter=None,
     straighten_pages: bool = False,
     straighten_min_angle: float = 1.0,
-) -> tuple[str, int, int, int, float, list[dict], list[dict]]:
+    kie: bool = False,
+) -> tuple:
     """OCR chain over already-decoded grayscale pages (the shared core of
     the bundle / PDF / image payload routes). ``orienter`` follows the
     OrientationPredictor contract ((page, scale) -> quarter turns); like
@@ -127,7 +137,16 @@ def extract_pages_ocr(
     pass. Geometry recovery is golden-tested; note that with the
     deterministic glyph-matcher recognizer, resampled glyphs decode
     exactly only when the cell grid survives (quarter turns); a real CRNN
-    through the model seam is the tolerant path for float skews."""
+    through the model seam is the tolerant path for float skews.
+
+    ``kie``: the KIE predictor route (reference models/kie_predictor/
+    pytorch.py:69-182) — the SAME det/reco chain, but each page's words go
+    through the KIE builder (operators/kie.py: per-class flat Prediction
+    lists, class lists in reading order) instead of only the Line/Block
+    tree; the return tuple gains (predictions, kie_text) where
+    ``predictions`` maps class -> [prediction dicts + page_idx] across
+    pages and ``kie_text`` is the per-page KIE render joined by the page
+    separator (KIEDocument.render semantics, io/elements.py:459-463)."""
     if detector is None:
         detector = resolve_model(*DEFAULT_DETECTOR)
     if recognizer is None:
@@ -137,6 +156,8 @@ def extract_pages_ocr(
     page_texts: list[str] = []
     words_out: list[dict] = []
     artefacts_out: list[dict] = []
+    kie_preds: dict[str, list[dict]] = {}
+    kie_page_texts: list[str] = []
     n_boxes = 0
     n_artefacts = 0
     min_conf = 1.0
@@ -200,10 +221,24 @@ def extract_pages_ocr(
         for w in built.words:
             w["page_idx"] = page_idx
             words_out.append(w)
-    return (
+        if kie:
+            from ..operators.kie import build_kie_page, render_kie_page
+
+            page_preds = build_kie_page(
+                boxes[:, :4], values, confs if confs.size else None
+            )
+            kie_page_texts.append(render_kie_page(page_preds))
+            for cls, preds in page_preds.items():
+                for p in preds:
+                    p["page_idx"] = page_idx
+                kie_preds.setdefault(cls, []).extend(preds)
+    base = (
         PAGE_SEP.join(page_texts), len(pages), n_boxes, n_artefacts, min_conf,
         words_out, artefacts_out,
     )
+    if kie:
+        return base + (kie_preds, PAGE_SEP.join(kie_page_texts))
+    return base
 
 
 def _extract_batch(
@@ -214,6 +249,7 @@ def _extract_batch(
     orienter=None,
     error_policy: str = "capture",
     straighten_pages: bool = False,
+    kie: bool = False,
 ) -> pd.DataFrame:
     out_rows = []
     for conv_id, turn_idx, role, text, tool, ts in zip(
@@ -223,11 +259,13 @@ def _extract_batch(
         words: list[dict] = []
         artefacts: list[dict] = []
         error = None
+        predictions: dict[str, list[dict]] = {}
+        kie_text = ""
         n_pages, n_boxes, n_artefacts, min_conf, strip_ratio = 0, 0, 0, 1.0, 1.0
         try:
             kind, extracted = _route_turn(
                 payload, text, detect_orientation, detector, recognizer, orienter,
-                straighten_pages=straighten_pages,
+                straighten_pages=straighten_pages, kie=kie,
             )
         except Exception as exc:  # noqa: BLE001 — per-turn quarantine
             # a corrupt payload must not kill a 10^12-turn job: quarantine
@@ -244,26 +282,35 @@ def _extract_batch(
             min_conf, strip_ratio = 0.0, 1.0
         else:
             if kind == "ocr":
-                extracted, n_pages, n_boxes, n_artefacts, min_conf, words, artefacts = extracted
+                if kie:
+                    (
+                        extracted, n_pages, n_boxes, n_artefacts, min_conf,
+                        words, artefacts, predictions, kie_text,
+                    ) = extracted
+                else:
+                    extracted, n_pages, n_boxes, n_artefacts, min_conf, words, artefacts = extracted
             elif kind == "html":
                 strip_ratio = (len(extracted) / len(text)) if len(text) else 1.0
         out_rows.append(
             _turn_row(
                 conv_id, turn_idx, role, ts, kind, extracted, n_pages, n_boxes,
                 n_artefacts, strip_ratio, min_conf, words, artefacts, error,
+                predictions=predictions if kie else None,
+                kie_text=kie_text if kie else None,
             )
         )
-    return pd.DataFrame(out_rows, columns=_ROW_COLUMNS)
+    columns = _ROW_COLUMNS + ["predictions", "kie_text"] if kie else _ROW_COLUMNS
+    return pd.DataFrame(out_rows, columns=columns)
 
 
-def _route_turn(payload, text, detect_orientation, detector, recognizer, orienter=None, straighten_pages=False):
+def _route_turn(payload, text, detect_orientation, detector, recognizer, orienter=None, straighten_pages=False, kie=False):
     """Dispatch one turn by payload kind; returns (kind, result) where the
     'ocr' result is the extract tuple and html/plain results are text."""
     if payload is not None and payload[0] == "page_bundle":
         return "ocr", extract_turn_ocr(
             payload[1], detect_orientation,
             detector=detector, recognizer=recognizer, orienter=orienter,
-            straighten_pages=straighten_pages,
+            straighten_pages=straighten_pages, kie=kie,
         )
     if payload is not None and payload[0] in ("pdf", "image"):
         # real-world payloads: rasterize/decode (env-gated libs), fold
@@ -282,6 +329,7 @@ def _route_turn(payload, text, detect_orientation, detector, recognizer, oriente
             recognizer=recognizer,
             orienter=orienter,
             straighten_pages=straighten_pages,
+            kie=kie,
         )
     if text and looks_like_html(text):
         return "html", extract_main_text(text)
@@ -298,8 +346,9 @@ _ROW_COLUMNS = [
 def _turn_row(
     conv_id, turn_idx, role, ts, kind, extracted, n_pages, n_boxes,
     n_artefacts, strip_ratio, min_conf, words, artefacts, error,
+    predictions=None, kie_text=None,
 ):
-    return {
+    row = {
         "conv_id": conv_id,
         "turn_idx": turn_idx,
         "role": role,
@@ -328,6 +377,19 @@ def _turn_row(
         ],
         "error": error,
     }
+    if predictions is not None or kie_text is not None:
+        row["predictions"] = {
+            cls: [
+                (
+                    p["value"], p["confidence"], p["xmin"], p["ymin"],
+                    p["xmax"], p["ymax"], p["page_idx"],
+                )
+                for p in preds
+            ]
+            for cls, preds in (predictions or {}).items()
+        }
+        row["kie_text"] = kie_text or ""
+    return row
 
 
 def extract_turns(
@@ -339,6 +401,7 @@ def extract_turns(
     orienter: ModelLoader | None = None,
     error_policy: str = "capture",
     straighten_pages: bool = False,
+    kie: bool = False,
 ) -> DataFrame:
     """Fused extraction over a transcript DataFrame.
 
@@ -359,6 +422,12 @@ def extract_turns(
     ``straighten_pages``: estimate each page's float skew angle from its
     merged line geometry and re-run detection on the de-skewed page
     (reference predictor straighten_pages path; see extract_pages_ocr).
+    ``kie``: the kie_predictor entry point (reference models/
+    kie_predictor/pytorch.py:69-182) — the output gains ``predictions``
+    (map class -> reading-ordered Prediction structs, per-class detection
+    head semantics via the KIE builder) and ``kie_text`` (the KIEDocument
+    render). Same fused single-stage plan: page bytes still never cross a
+    shuffle; only the extra slim map column leaves the stage.
     """
     src = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     if salt_partitions:
@@ -376,10 +445,10 @@ def extract_turns(
                 yield _extract_batch(
                     pdf, detect_orientation, detector=det, recognizer=rec,
                     orienter=ori, error_policy=error_policy,
-                    straighten_pages=straighten_pages,
+                    straighten_pages=straighten_pages, kie=kie,
                 )
 
-    return src.mapInPandas(run, schema=EXTRACT_SCHEMA)
+    return src.mapInPandas(run, schema=EXTRACT_KIE_SCHEMA if kie else EXTRACT_SCHEMA)
 
 
 def ordered_turns(extracted: DataFrame) -> DataFrame:

@@ -219,3 +219,84 @@ def test_orienter_loader_through_extract_turns(spark):
     j = out.join(gen.select("conv_id", "turn_idx", "expected_text"), ["conv_id", "turn_idx"])
     assert j.filter(F.col("extracted_text") != F.col("expected_text")).count() == 0
     gen.unpersist()
+
+
+def test_kie_route_predictions_and_render(spark):
+    """extract_turns(kie=True) — the kie_predictor entry point (reference
+    models/kie_predictor/pytorch.py:69-182): per-class prediction counts
+    sum to n_boxes, each class list is reading-ordered, and kie_text
+    equals an independent per-page recomputation from the word nodes."""
+    from pyspark.sql import functions as F
+
+    from doctr_spark.operators.kie import classify_token
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.sources.corpus import make_transcripts
+
+    gen = make_transcripts(spark, 2, partitions=2, ocr_ratio=1.0, html_ratio=0.0)
+    inp = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    out = extract_turns(inp, kie=True).cache()
+    try:
+        # default columns intact + the two KIE columns appended
+        assert out.columns[-2:] == ["predictions", "kie_text"]
+        n_bad = out.filter(
+            F.aggregate(
+                F.map_values("predictions"), F.lit(0), lambda a, x: a + F.size(x)
+            )
+            != F.col("n_boxes")
+        ).count()
+        assert n_bad == 0
+        rows = out.filter(F.col("payload_kind") == "ocr").collect()
+        assert rows
+        for r in rows:
+            # class assignment matches the deterministic classifier and
+            # each class list follows the LINE-AWARE reading order of the
+            # word nodes (page, line_idx, word_idx — the builder's key)
+            word_rank = {
+                (w["page_idx"], round(w["xmin"], 9), round(w["ymin"], 9)): (
+                    w["page_idx"], w["line_idx"], w["word_idx"],
+                )
+                for w in r["words"]
+            }
+            for cls, preds in r["predictions"].items():
+                assert all(classify_token(p["value"]) == cls for p in preds)
+                keys = [
+                    word_rank[(p["page_idx"], round(p["xmin"], 9), round(p["ymin"], 9))]
+                    for p in preds
+                ]
+                assert keys == sorted(keys), (cls, keys)
+            # render recomputation: class-sorted 'class: value' per page
+            per_page: dict[int, dict[str, list[str]]] = {}
+            for cls, preds in r["predictions"].items():
+                for p in preds:
+                    per_page.setdefault(p["page_idx"], {}).setdefault(cls, []).append(
+                        p["value"]
+                    )
+            pages = []
+            for pi in range(r["n_pages"]):
+                classes = per_page.get(pi, {})
+                pages.append(
+                    "\n\n".join(
+                        f"{cls}: {v}" for cls in sorted(classes) for v in classes[cls]
+                    )
+                )
+            assert r["kie_text"] == "\n\n\n\n".join(pages)
+    finally:
+        out.unpersist()
+
+
+def test_kie_route_non_ocr_turns_empty_predictions(spark):
+    """Plain/HTML turns through the KIE route carry empty predictions and
+    an empty render — the KIE surface is defined over document payloads."""
+    from pyspark.sql import functions as F
+
+    from doctr_spark.plans.pipeline import extract_turns
+
+    df = spark.createDataFrame(
+        [("c0", 0, "user", "plain words here", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    r = extract_turns(df, kie=True).collect()[0]
+    assert r["payload_kind"] == "plain"
+    assert r["extracted_text"] == "plain words here"
+    assert dict(r["predictions"]) == {}
+    assert r["kie_text"] == ""
