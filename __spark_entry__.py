@@ -454,6 +454,46 @@ FROM (VALUES
 """
 
 
+def _q_onnx_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn equality through COMMITTED real .onnx checkpoints
+    (models_data/tiny_conv_{det,reco}_v1.onnx — hand-encoded ONNX
+    ModelProto protobufs) via the onnx_detector / onnx_recognizer loader
+    factories (plans/models.py), executed by the bundled numpy ONNX
+    executor when onnxruntime is absent. This runs the reference's
+    from-serialized-checkpoint custom-model path (detection/zoo.py:59-71,
+    recognition/zoo.py:41-52) end-to-end, not as stub wiring."""
+    from doctr_spark.operators.detection import INK_MODEL_POSTPROC
+    from doctr_spark.plans.models import onnx_detector, onnx_recognizer
+    from doctr_spark.plans.onnx_export import ONNX_DET_PATH, ONNX_RECO_PATH
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.sources.corpus import make_transcripts
+
+    gen = make_transcripts(spark, 2, partitions=8, ocr_ratio=1.0, html_ratio=0.0)
+    inp = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    exp = gen.select("conv_id", "turn_idx", "expected_text")
+    m = extract_turns(
+        inp,
+        detector=onnx_detector(ONNX_DET_PATH, postproc=INK_MODEL_POSTPROC),
+        recognizer=onnx_recognizer(ONNX_RECO_PATH),
+    ).join(exp, ["conv_id", "turn_idx"])
+    return m.agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("extracted_text") == F.col("expected_text")).cast("long")).alias(
+            "n_exact"
+        ),
+    ).select(F.lit("onnx-det+reco").alias("models"), "n_turns", "n_exact")
+
+
+_ONNX_ZOO_ORACLE = """
+-- turn counts pinned by the deterministic generator (first 2 convs of the
+-- extract_ocr fixture: 12+3 = 15); invariant: n_exact == n_turns through
+-- BOTH committed .onnx checkpoints via the loader factories
+SELECT models, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_exact AS BIGINT) AS n_exact
+FROM (VALUES ('onnx-det+reco', 15, 15)) AS v(models, n_turns, n_exact)
+"""
+
+
 def _q_kie_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KIE predictor as a PIPELINE entry point (reference
     models/kie_predictor/pytorch.py:69-182): extract_turns(kie=True) runs
@@ -1352,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbnet_fpn_ocr": _q_dbnet_fpn_ocr,
         "crnn_bilstm_ocr": _q_crnn_bilstm_ocr,
         "kie_extract": _q_kie_extract,
+        "onnx_zoo": _q_onnx_zoo,
         # --- the 35 queries last driver-verified in r01/r02 (rotated out
         # in r03), back inside the window so no row is >2 rounds old
         "sort_key_rank": EQ.q_sort_key_rank,
@@ -1455,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "dbnet_fpn_ocr": _DBNET_FPN_OCR_ORACLE,
         "crnn_bilstm_ocr": _CRNN_BILSTM_OCR_ORACLE,
         "kie_extract": _KIE_EXTRACT_ORACLE,
+        "onnx_zoo": _ONNX_ZOO_ORACLE,
         "bm25_topk": bm25_topk_sql("documents", _BM25_QUERIES, k=10),
         "span_dedup": duplicated_spans_sql("documents", n=8, min_count=2),
         "classifier_score": classify_quality_sql("documents", weights=_CLS_WEIGHTS, bias=0.0, oov_weight=0.0),

@@ -176,6 +176,20 @@ DEFAULT_ORIENTATION: ModelLoader = ("glyph-orient-default", _load_glyph_orientat
 # ------------------------------------------------- real-NN loader factories
 
 
+def _onnx_session(model_path: str):
+    """Open an ONNX model: onnxruntime when installed, else the bundled
+    pure-numpy executor (plans/onnx_exec.NumpySession) — same file format,
+    same run() surface, so the loader contract executes in both worlds."""
+    try:
+        import onnxruntime as ort
+
+        return ort.InferenceSession(model_path)
+    except ImportError:
+        from .onnx_exec import NumpySession
+
+        return NumpySession(model_path)
+
+
 def onnx_detector(
     model_path: str,
     input_name: str = "input",
@@ -188,9 +202,11 @@ def onnx_detector(
     for the (H, W) proba map, and reuses this module's DB postprocessor
     (binarize -> 3x3 open -> components -> score -> unclip -> relative
     boxes) — the exact composition the reference's DetectionPredictor runs
-    (preprocess + model + DetectionPostProcessor). Env-gated: raises
-    NotImplementedError where onnxruntime is absent; the wiring is
-    stub-tested so a real .onnx drops in unchanged.
+    (preprocess + model + DetectionPostProcessor). Uses onnxruntime when
+    installed; otherwise the same .onnx file executes through the bundled
+    pure-numpy ONNX executor (plans/onnx_exec.py, Conv/Sigmoid/Sub/
+    ReduceMax/Transpose subset), so the serialized-checkpoint load path
+    runs either way.
     """
     from ..operators.detection import DB_POSTPROC, postprocess_proba_map
     from ..operators.preprocess import remove_padding, resize_page
@@ -199,13 +215,7 @@ def onnx_detector(
     key = f"onnx-det:{model_path}"
 
     def load():
-        try:
-            import onnxruntime as ort
-        except ImportError as exc:
-            raise NotImplementedError(
-                "onnx_detector requires onnxruntime, which is not installed"
-            ) from exc
-        sess = ort.InferenceSession(model_path)
+        sess = _onnx_session(model_path)
 
         def detect(page: np.ndarray, scale: int) -> np.ndarray:
             img, tf = (
@@ -241,13 +251,7 @@ def onnx_recognizer(model_path: str, vocab: str | None = None, input_name: str =
     key = f"onnx-reco:{model_path}"
 
     def load():
-        try:
-            import onnxruntime as ort
-        except ImportError as exc:
-            raise NotImplementedError(
-                "onnx_recognizer requires onnxruntime, which is not installed"
-            ) from exc
-        sess = ort.InferenceSession(model_path)
+        sess = _onnx_session(model_path)
 
         def recognize(crops: list[np.ndarray], scale: int) -> list[tuple[str, float]]:
             if not crops:

@@ -333,13 +333,14 @@ def test_onnx_recognizer_wiring_via_stub(monkeypatch):
     clear_model_cache()
 
 
-def test_onnx_loaders_env_gated():
-    import importlib.util
-
+def test_onnx_loader_missing_file_fails_loudly():
+    """Without onnxruntime the factories fall back to the bundled numpy
+    executor (plans/onnx_exec.py) — a bad path still fails at load time,
+    never silently. Full committed-model coverage lives in
+    tests/test_onnx_zoo.py."""
     from doctr_spark.plans.models import clear_model_cache, onnx_detector
 
-    if importlib.util.find_spec("onnxruntime") is None:
-        clear_model_cache()
-        _, loader = onnx_detector("/weights/x.onnx")
-        with pytest.raises(NotImplementedError):
-            loader()
+    clear_model_cache()
+    _, loader = onnx_detector("/weights/does-not-exist.onnx")
+    with pytest.raises(Exception, match="does-not-exist|No such file|Model"):
+        loader()
