@@ -1431,7 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "emb_neardup": EQ.q_emb_neardup,
         # --- r03-green queries whose code paths are touched this round
-        # (fused extraction pipeline; dedup hashing) — kept in-window
+        # (fused extraction pipeline; dedup hashing; k-means persist) —
+        # kept in-window
         "extract_docs": _q_extract_docs,
         "extract_ocr": _q_extract_ocr,
         "tiny_conv_ocr": _q_tiny_conv_ocr,
@@ -1440,9 +1441,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": EQ.q_exact_dedup_summary,
         "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,
-        "decontaminate": EQ.q_decontaminate,
+        "kmeans_cells": _q_kmeans_cells,
+        "semantic_dedup": _q_semantic_dedup,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         # --- past position 49: green in r03, unchanged this round; still
         # builder-checked every round (check_oracles.py)
+        "decontaminate": EQ.q_decontaminate,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "polygon_iou": EQ.q_polygon_iou,
         "box_iou": EQ.q_box_iou,
@@ -1466,9 +1470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": EQ.q_frame_sample,
         "artefact_classes": _q_artefact_classes,
         "lang_id_ngram": _q_lang_id_ngram,
-        "kmeans_cells": _q_kmeans_cells,
-        "semantic_dedup": _q_semantic_dedup,
-        "ann_ivf_trained": _q_ann_ivf_trained,
         "detector_zoo": _q_detector_zoo,
         "recognizer_zoo": _q_recognizer_zoo,
         "reco_weights_zoo": _q_reco_weights_zoo,

@@ -111,24 +111,42 @@ def kmeans_fit(
     ``deterministic=True`` pins row->partition by hash(id) and sorts rows
     by id within partitions, making the float summation order — and the
     codebook — bit-identical across runs AND across input file layouts
-    (the property the pinned driver oracles need). Costs one shuffle of
-    (id, vec) before the loop; a 100 TB training job that only needs
-    statistical stability can pass False and train on raw input splits.
+    (the property the pinned driver oracles need). The pinned layout is
+    PERSISTED (memory-and-disk) before the Lloyd loop — each of the
+    ``n_iter`` passes is an independent action, so without the persist
+    the repartition+sort shuffle would re-execute every iteration; with
+    it, the shuffle happens once and iterations read cached blocks. A
+    100 TB training job that only needs statistical stability can pass
+    False and train on raw input splits.
     """
     sample = _collect_sample(df, id_col, vec_col, sample_rows, dim)
     if sample.shape[0] < k:
         raise ValueError(f"sample has {sample.shape[0]} rows < k={k}")
     cents = _kmeanspp_init(sample, k, seed)
 
+    persisted = None
     if deterministic:
+        from pyspark import StorageLevel
+
         vec_only = (
             df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
             .repartition(det_partitions, F.col("_id"))
             .sortWithinPartitions("_id")
             .select("_v")
         )
+        persisted = vec_only.persist(StorageLevel.MEMORY_AND_DISK)
     else:
         vec_only = df.select(F.col(vec_col).alias("_v"))
+    try:
+        return _lloyd_iterations(vec_only, cents, k, dim, n_iter)
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
+
+
+def _lloyd_iterations(
+    vec_only: DataFrame, cents: np.ndarray, k: int, dim: int, n_iter: int
+) -> np.ndarray:
     out_schema = "cell int, pid int, cnt long, vsum array<double>"
     for _ in range(n_iter):
         cent_t = cents.T.copy()

@@ -33,13 +33,30 @@ from ..functions.text import fingerprint, normalized_text
 # ---------------------------------------------------------------- exact dedup
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Groups of exact duplicates (normalized): fingerprint, member ids,
-    group size. One shuffle on the 16-byte fingerprint, map-side combined."""
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_sample_ids: int = 100
+) -> DataFrame:
+    """Groups of exact duplicates (normalized): fingerprint, survivor id
+    (the group minimum), group size, and a BOUNDED id sample. One shuffle
+    on the 16-byte fingerprint, map-side combined.
+
+    The member list is capped at ``max_sample_ids`` BEFORE aggregation (a
+    row_number window over the same shuffle key, so the cap costs no extra
+    exchange and the agg buffer itself stays bounded): a pathological
+    fingerprint with 10^7 members must not build a 10^7-element array —
+    callers needing the full membership join the source on ``fp``."""
+    w = Window.partitionBy("fp").orderBy("id")
     return (
         df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .withColumn("_rn", F.row_number().over(w))
         .groupBy("fp")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count("*").alias("n"))
+        .agg(
+            F.min("id").alias("survivor_id"),
+            F.count("*").alias("n"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_sample_ids, F.col("id")))
+            ).alias("sample_ids"),
+        )
         .filter(F.col("n") > 1)
     )
 
@@ -114,38 +131,57 @@ def jaccard_pairs(
 MINHASH_PRIME = (1 << 61) - 1
 
 
-def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    # a < 2^31 and shingle hashes < 2^32, so a*x < 2^63 stays in native
-    # int64 — no Python-object bigint math in the hot loop
+def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    # a1, a2 < 2^31 and each shingle half-hash < 2^32, so every a*x
+    # product < 2^63 stays in native int64 — no Python-object bigint math
+    # in the hot loop
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 31, size=num_hashes, dtype=np.int64)
+    a1 = rng.integers(1, 1 << 31, size=num_hashes, dtype=np.int64)
+    a2 = rng.integers(1, 1 << 31, size=num_hashes, dtype=np.int64)
     b = rng.integers(0, MINHASH_PRIME, size=num_hashes, dtype=np.int64)
-    return a, b
+    return a1, a2, b
 
 
 def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
+    """(n_shingles, 2) int64 — each distinct shingle as a PAIR of
+    independently salted crc32s (~64 bits of identity; a lone 32-bit hash
+    gives ~50% birthday collision odds per document at ~77k distinct
+    shingles). The permutation family consumes both halves linearly, so
+    two shingles collide post-hash only if both crc32s collide (~2^-64)."""
     t = " ".join(text.lower().split())
-    if len(t) < shingle:
-        return np.array([zlib.crc32(t.encode())], dtype=np.int64)
-    views = {zlib.crc32(t[i : i + shingle].encode()) for i in range(len(t) - shingle + 1)}
-    return np.fromiter(views, dtype=np.int64)
+    views = (
+        {t}
+        if len(t) < shingle
+        else {t[i : i + shingle] for i in range(len(t) - shingle + 1)}
+    )
+    out = np.empty((len(views), 2), dtype=np.int64)
+    for i, s in enumerate(views):
+        raw = s.encode()
+        out[i, 0] = zlib.crc32(raw)
+        out[i, 1] = zlib.crc32(raw + b"\x9e")
+    return out
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle: int = 5
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures over char shingles.
-    Arrow-batched; (a*x+b) mod p permutation family, seeded."""
-    a, b = _minhash_params(num_hashes)
+    Arrow-batched; (a1*x1 + a2*x2 + b) mod p permutation family over the
+    64-bit shingle identity (two salted crc32 halves), seeded."""
+    a1, a2, b = _minhash_params(num_hashes)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sigs = []
             for text in pdf[text_col].astype(str):
-                x = _shingle_hashes(text, shingle)
-                # (num_hashes, n_shingles) all-int64: a*x < 2^63, then two
-                # cheap mods keep every intermediate under 2^62
-                vals = ((a[:, None] * x[None, :]) % MINHASH_PRIME + b[:, None]) % MINHASH_PRIME
+                x = _shingle_hashes(text, shingle)  # (n, 2)
+                # (num_hashes, n_shingles) all-int64: each a*x < 2^63,
+                # per-term mods keep every intermediate under 2^63
+                vals = (
+                    (a1[:, None] * x[None, :, 0]) % MINHASH_PRIME
+                    + (a2[:, None] * x[None, :, 1]) % MINHASH_PRIME
+                    + b[:, None]
+                ) % MINHASH_PRIME
                 sigs.append(vals.min(axis=1))
             yield pd.DataFrame({"id": pdf[id_col].values, "sig": sigs})
 

@@ -311,7 +311,7 @@ def ink_word_boxes(
     gray = img if img.ndim == 2 else img.mean(axis=-1)
     ink = (gray < 128).astype(np.uint8)
     if scale > 1:
-        cells = _ink_cells_if_aligned(ink, scale)
+        cells = _ink_cells_if_aligned(ink, scale, h_dilate=3, v_dilate=4)
         if cells is not None:
             # cell-space fast path: the renderer places ink on an s-aligned
             # cell grid, so s x s pooling is lossless and dilation by
@@ -351,11 +351,18 @@ def ink_word_boxes(
     )
 
 
-def _ink_cells_if_aligned(ink: np.ndarray, s: int) -> np.ndarray | None:
+def _ink_cells_if_aligned(
+    ink: np.ndarray, s: int, h_dilate: int = 3, v_dilate: int = 4
+) -> np.ndarray | None:
     """Cell-space (H/s, W/s) 0/1 downsampling of an ink mask, or None when
     the mask is not exactly s-aligned (any partially-inked cell, or ink in
     the partial edge strips / near enough to them that pixel-space dilation
-    would enter the strips the cell grid cannot represent)."""
+    would enter the strips the cell grid cannot represent).
+
+    ``h_dilate`` / ``v_dilate`` are the CELL dilation radii the caller will
+    apply afterwards (ink_word_boxes' fuse step); the edge guards below are
+    derived from them (radius + 1), so changing the fuse radii cannot
+    silently desynchronize the guard from the dilation reach."""
     H, W = ink.shape
     hc, wc = H // s, W // s
     if hc == 0 or wc == 0:
@@ -380,8 +387,8 @@ def _ink_cells_if_aligned(ink: np.ndarray, s: int) -> np.ndarray | None:
     cells = (cellsum > 0).astype(np.uint8)
     # conservative guard: ink within dilation reach of a partial edge strip
     # would dilate into pixels the cell grid cannot express -> full-res path
-    if W - wc * s and cells[:, max(wc - 4, 0) :].any():
+    if W - wc * s and cells[:, max(wc - (h_dilate + 1), 0) :].any():
         return None
-    if H - hc * s and cells[max(hc - 5, 0) :, :].any():
+    if H - hc * s and cells[max(hc - (v_dilate + 1), 0) :, :].any():
         return None
     return cells

@@ -110,6 +110,12 @@ def ctc_best_path(
     index is filtered from the collapsed path with the remaining class
     indices mapping straight into ``vocab``, exactly like the reference's
     parameterized ``ctc_best_path(…, blank=…)`` (viptr/pytorch.py:50-76).
+
+    CONSTRAINT: when ``blank < len(vocab)``, the character ``vocab[blank]``
+    becomes undecodable — blank is removed after collapse while every other
+    index maps straight into ``vocab``, so that position must be a
+    designated placeholder the model never emits as a real class
+    (viptr_vocab reserves one; the reference has the same property).
     """
     arr = np.asarray(logits, dtype=np.float64)
     if arr.ndim == 2:

@@ -5,6 +5,8 @@ surface (SURVEY §2 additions): the trained coarse quantizer for IVF ANN and
 cluster-then-dedup semantic deduplication.
 """
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -102,11 +104,16 @@ def test_semantic_dedup_matches_numpy_within_cells(spark, clustered):
     assert len(expect_removed) > 0  # fixture exercises the path
 
 
+SF_DIR = "/root/testdata/sf0.01"
+needs_data = pytest.mark.skipif(not os.path.exists(SF_DIR), reason="testdata absent")
+
+
+@needs_data
 def test_kmeans_balanced_cells_on_corpus(spark):
     """On the (near-uniform) sf0.01 embeddings a trained codebook keeps
     every cell within 2x the mean occupancy — the skew bound a seeded
     random codebook cannot promise on clustered data."""
-    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     cents = kmeans_fit(emb, k=16, dim=64, n_iter=5)
     st = cluster_stats(emb, cents).toPandas()
     assert len(st) == 16

@@ -65,7 +65,12 @@ def test_quality_score_bounds(spark, docs):
 def test_exact_dedup(spark, docs):
     dups = exact_duplicates(docs, "doc_id", "text").collect()
     assert len(dups) == 1
-    assert dups[0]["ids"] == [1, 2]
+    assert dups[0]["survivor_id"] == 1
+    assert dups[0]["n"] == 2
+    assert dups[0]["sample_ids"] == [1, 2]
+    capped = exact_duplicates(docs, "doc_id", "text", max_sample_ids=1).collect()
+    assert capped[0]["sample_ids"] == [1]
+    assert capped[0]["n"] == 2  # count is exact even when the sample caps
     kept = distinct_by_fingerprint(docs, "doc_id", "text")
     assert kept.count() == 5
     assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4, 5, 6}
