@@ -454,6 +454,59 @@ FROM (VALUES
 """
 
 
+def _q_hub_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Models resolved BY NAME through the hub factory (plans/hub.py —
+    reference models/factory/hub.py from_hub): the query materializes two
+    repos in the standard HF cache layout (config.json + weights,
+    models--ORG--NAME/snapshots/<rev>/), resolves them by repo id, and
+    runs them through the extract_turns seam — the reference's
+    ocr_predictor(det_arch=from_hub(...), reco_arch=from_hub(...))
+    composition. Invariant: n_exact == n_turns."""
+    import os
+    import tempfile
+
+    from doctr_spark.plans.hub import from_hub, save_model_for_hub
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.plans.tiny_crnn import CRNN_WEIGHTS_PATH
+    from doctr_spark.plans.tiny_dbnet import DBNET_WEIGHTS_PATH
+    from doctr_spark.sources.corpus import make_transcripts
+
+    cache = tempfile.mkdtemp(prefix="doctr_spark_hub_")
+    for org_name, path, arch, task in (
+        ("acme/det", DBNET_WEIGHTS_PATH, "tiny_dbnet_fpn", "detection"),
+        ("acme/rec", CRNN_WEIGHTS_PATH, "tiny_crnn_bilstm", "recognition"),
+    ):
+        slug = "models--" + org_name.replace("/", "--")
+        snap = os.path.join(cache, slug, "snapshots", "rev0")
+        os.makedirs(snap, exist_ok=True)
+        save_model_for_hub(path, snap, arch=arch, task=task)
+
+    gen = make_transcripts(spark, 2, partitions=2, ocr_ratio=1.0, html_ratio=0.0)
+    inp = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    exp = gen.select("conv_id", "turn_idx", "expected_text")
+    m = extract_turns(
+        inp,
+        detector=from_hub("acme/det", cache_dir=cache),
+        recognizer=from_hub("acme/rec", cache_dir=cache),
+    ).join(exp, ["conv_id", "turn_idx"])
+    return m.agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("extracted_text") == F.col("expected_text")).cast("long")).alias(
+            "n_exact"
+        ),
+    ).select(F.lit("hub:det+rec").alias("models"), "n_turns", "n_exact")
+
+
+_HUB_ZOO_ORACLE = """
+-- turn counts pinned by the deterministic generator (first 2 convs of the
+-- extract_ocr fixture: 12+3 = 15); invariant: n_exact == n_turns through
+-- hub-name-resolved detector + recognizer (HF cache layout)
+SELECT models, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_exact AS BIGINT) AS n_exact
+FROM (VALUES ('hub:det+rec', 15, 15)) AS v(models, n_turns, n_exact)
+"""
+
+
 def _q_onnx_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn equality through COMMITTED real .onnx checkpoints
     (models_data/tiny_conv_{det,reco}_v1.onnx — hand-encoded ONNX
@@ -1393,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crnn_bilstm_ocr": _q_crnn_bilstm_ocr,
         "kie_extract": _q_kie_extract,
         "onnx_zoo": _q_onnx_zoo,
+        "hub_zoo": _q_hub_zoo,
         # --- the 35 queries last driver-verified in r01/r02 (rotated out
         # in r03), back inside the window so no row is >2 rounds old
         "sort_key_rank": EQ.q_sort_key_rank,
@@ -1436,7 +1490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docs": _q_extract_docs,
         "extract_ocr": _q_extract_ocr,
         "tiny_conv_ocr": _q_tiny_conv_ocr,
-        "detect_boxes": EQ.q_detect_boxes,
         "skew_angle": _q_skew_angle,
         "exact_dedup": EQ.q_exact_dedup_summary,
         "minhash_neardup": _q_minhash_neardup,
@@ -1447,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past position 49: green in r03, unchanged this round; still
         # builder-checked every round (check_oracles.py)
         "decontaminate": EQ.q_decontaminate,
+        "detect_boxes": EQ.q_detect_boxes,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "polygon_iou": EQ.q_polygon_iou,
         "box_iou": EQ.q_box_iou,
@@ -1498,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
         "crnn_bilstm_ocr": _CRNN_BILSTM_OCR_ORACLE,
         "kie_extract": _KIE_EXTRACT_ORACLE,
         "onnx_zoo": _ONNX_ZOO_ORACLE,
+        "hub_zoo": _HUB_ZOO_ORACLE,
         "bm25_topk": bm25_topk_sql("documents", _BM25_QUERIES, k=10),
         "span_dedup": duplicated_spans_sql("documents", n=8, min_count=2),
         "classifier_score": classify_quality_sql("documents", weights=_CLS_WEIGHTS, bias=0.0, oov_weight=0.0),

@@ -88,16 +88,22 @@ def run_extraction_checkpointed(
             part = bucketed.filter(F.col("bucket").isin(todo)).drop("bucket")
             res = with_bucket(extract_turns(part), buckets)
             (
-                # co-locate each bucket before the partitioned write: one
-                # shuffle of slim post-extraction text rows buys one file
-                # per bucket instead of tasks x buckets small files. The
-                # dynamic-overwrite commit moves files SERIALLY on the
-                # driver, so file count is a fixed serial cost that was
-                # strangling wide clusters (measured 32-core throughput
-                # 7.1k -> 19.1k cold / 24.7k warm turns/s on a 605k-turn
-                # corpus), and the
-                # 100 TB manifest/read-back side stays small-file-free
-                res.repartition(buckets, F.col("bucket"))
+                # co-locate each bucket before the partitioned write via an
+                # AQE REBALANCE on the bucket key: one shuffle of slim
+                # post-extraction text rows buys ~one file per bucket
+                # instead of tasks x buckets small files (the dynamic-
+                # overwrite commit moves files SERIALLY on the driver, so
+                # file count is a fixed serial cost that was strangling
+                # wide clusters: 32-core 7.1k -> 19.1k cold / 24.7k warm
+                # turns/s on a 605k-turn corpus). Unlike a plain
+                # repartition(buckets, bucket), REBALANCE also SPLITS an
+                # oversized bucket at the advisory partition size — a
+                # single 10^5-turn conversation concentrates one bucket,
+                # and a hard one-task-per-bucket rule would serialize its
+                # whole write behind one core (the skew-bench straggler);
+                # splitting costs a handful of extra files, still O(1) per
+                # bucket for the serial commit.
+                res.hint("rebalance", "bucket")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket")

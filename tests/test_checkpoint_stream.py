@@ -253,10 +253,12 @@ def test_checkpoint_resume_grouped(spark, corpus, tmp_path_factory):
     assert manifest.filter(F.col("status") == "done").count() == 4
     assert manifest.agg(F.sum("n_turns")).collect()[0][0] == total
 
-    # one data file per bucket partition: the pre-write repartition on
-    # bucket is what keeps the dynamic-overwrite commit (which moves
-    # files SERIALLY on the driver) O(buckets), not O(tasks x buckets) —
-    # the wide-cluster scaling fix must not regress
+    # one data file per bucket partition on a UNIFORM corpus: the
+    # pre-write REBALANCE on bucket is what keeps the dynamic-overwrite
+    # commit (which moves files SERIALLY on the driver) O(buckets), not
+    # O(tasks x buckets) — the wide-cluster scaling fix must not regress.
+    # (A skewed bucket is allowed to split — see
+    # test_grouped_write_splits_giant_bucket.)
     import glob
 
     for bdir in glob.glob(f"{out}/results/bucket=*"):
@@ -398,3 +400,124 @@ def test_rolling_anomalies(spark):
     out = rolling_anomalies(df, lookback=20, min_n=10, z=3).collect()
     assert [(r["user_id"], r["event_id"]) for r in out] == [(1, 25)]
     assert out[0]["window_n"] == 20
+
+
+def test_grouped_write_splits_giant_bucket(spark, tmp_path_factory):
+    """Skew story, write side: a conversation that dwarfs everything else
+    concentrates one bucket; the REBALANCE before the partitioned write
+    must SPLIT that bucket across tasks (no one-core write straggler)
+    while small buckets keep one file each and resume metrics stay exact."""
+    import glob
+    import random
+    import string
+
+    out = str(tmp_path_factory.mktemp("ckpt_skew"))
+    rnd = random.Random(5)
+    # plain-text turns: 1 giant conv (3000 turns of incompressible text)
+    # + 60 one-turn convs
+    rows = [
+        ("conv-giant", t, "user",
+         "".join(rnd.choices(string.ascii_letters + " ", k=400)), "", None)
+        for t in range(3000)
+    ] + [
+        (f"conv-{c:03d}", 0, "user", f"small turn {c}", "", None)
+        for c in range(60)
+    ]
+    inp = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).repartition(8)
+    old = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864b")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        summary = run_extraction_checkpointed(spark, inp, out, buckets=4, grouped=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old)
+    assert summary["remaining"] == 0
+    from doctr_spark.plans.checkpoint import read_extraction_results
+
+    res = read_extraction_results(spark, out)
+    assert res.count() == 3060
+    # locate the giant conv's bucket and count files per bucket dir
+    giant_bucket = None
+    per_bucket_files = {}
+    for bdir in glob.glob(f"{out}/results/bucket=*"):
+        b = int(bdir.rsplit("=", 1)[1])
+        files = [f for f in glob.glob(f"{bdir}/*") if f.endswith(".parquet")]
+        per_bucket_files[b] = len(files)
+        if (
+            spark.read.parquet(bdir)
+            .filter(F.col("conv_id") == "conv-giant")
+            .count()
+        ):
+            giant_bucket = b
+    assert giant_bucket is not None
+    assert per_bucket_files[giant_bucket] > 1, per_bucket_files  # split, not serialized
+    for b, nf in per_bucket_files.items():
+        if b != giant_bucket:
+            assert nf <= 2, per_bucket_files  # small buckets stay small-file-free
+    # manifest metrics exact despite the split
+    manifest = spark.read.parquet(f"{out}/manifest")
+    assert manifest.agg(F.sum("n_turns")).collect()[0][0] == 3060
+
+
+def test_stateful_stream_foreachbatch_progression(spark, tmp_path_factory):
+    """running_conversation_state through REAL readStream micro-batches
+    (file source, one file per trigger) observed via a foreachBatch sink:
+    the custom stateful operator's UPDATE-mode emissions must progress
+    monotonically across micro-batches (a conversation's running count
+    never decreases) and the union of final emissions must equal the batch
+    rollup — pinned per micro-batch, not just on the final table."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+    from datetime import datetime
+
+    from doctr_spark.streaming.stream import running_conversation_state
+
+    base = tmp_path_factory.mktemp("febatch")
+    in_dir = base / "in"
+    in_dir.mkdir()
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    T = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+
+    def write_file(rows, name):
+        tmp = str(base / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], str(in_dir / name))
+
+    # batch 1: c1 gets 3 turns, c2 gets 1; batch 2: c1 two more, c3 appears
+    write_file(
+        [("c1", i, "user", "x", "", T(f"10:0{i}:00")) for i in range(3)]
+        + [("c2", 0, "user", "y", "", T("10:00:30"))],
+        "a.parquet",
+    )
+    _time.sleep(1.1)  # file-source ordering is by mtime
+    write_file(
+        [("c1", 3, "user", "x", "", T("10:10:00")),
+         ("c1", 4, "user", "x", "", T("10:11:00")),
+         ("c3", 0, "user", "z", "", T("10:12:00"))],
+        "b.parquet",
+    )
+
+    stream = stream_transcripts(spark, str(in_dir), max_files_per_trigger=1)
+    counts = running_conversation_state(stream)
+    batches: list[tuple[int, dict]] = []
+
+    def capture(df, epoch_id):
+        batches.append((epoch_id, {r["conv_id"]: (r["n_turns"], r["max_turn"]) for r in df.collect()}))
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = [b for _, b in batches if b]  # drop empty planning batches
+    assert len(emitted) == 2, batches
+    assert emitted[0] == {"c1": (3, 2), "c2": (1, 0)}
+    assert emitted[1] == {"c1": (5, 4), "c3": (1, 0)}  # update mode: changed keys only
+    # running counts never decrease across micro-batches
+    assert emitted[1]["c1"][0] > emitted[0]["c1"][0]
