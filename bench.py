@@ -52,21 +52,51 @@ def build_corpus(spark, corpus_dir: str) -> None:
     gen.write.mode("overwrite").parquet(corpus_dir)
 
 
+def materialized_input(spark, corpus_dir: str, repeat: int, cores: int) -> str:
+    """The corpus unioned ``repeat``x, written once to parquet (untimed,
+    cached across runs) — timed legs then measure a pure scan->extract job
+    long enough that fixed job costs (planning, Python-worker fan-out,
+    scheduler floors) stop dominating. Shared by the headline extraction
+    leg and the scaling legs (same dir per level)."""
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    big_dir = os.path.join(BENCH_TMP, f"scale_input_{cores}")
+    if not os.path.exists(os.path.join(big_dir, "_SUCCESS")):
+        inp = spark.read.parquet(corpus_dir).select(*cols)
+        big = inp
+        for _ in range(repeat - 1):
+            big = big.unionByName(inp)
+        big.write.mode("overwrite").parquet(big_dir)
+    return big_dir
+
+
 def timed_extraction(spark, corpus_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from doctr_spark.plans.pipeline import extract_turns
 
-    inp = spark.read.parquet(corpus_dir).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    inp = spark.read.parquet(corpus_dir).select(*cols)
     n = inp.count()
     _noop_write(extract_turns(inp))  # warmup (JIT/codegen/python workers)
-    # best-of-2: the r3 kernel optimizations cut the timed leg under 1s at
-    # 32 cores, where a single co-tenant burst would dominate one run
+    # short-job figure (r1-r3 definition, kept for cross-round comparison):
+    # ONE pass over the raw corpus — at 32 cores this job now runs ~1s, so
+    # fixed job costs (planning + worker fan-out) are a large fraction
     dt = float("inf")
     for _ in range(2):
         t0 = time.time()
         _noop_write(extract_turns(inp))
         dt = min(dt, time.time() - t0)
+    # HEADLINE figure: the materialized long leg (same input the 32-core
+    # scaling leg reads; ~15-30s) — the steady-state rate a 100 TB job
+    # sustains, where per-job fixed costs are amortized to nothing
+    big_dir = materialized_input(spark, corpus_dir, max(6, CPUS * 3), CPUS)
+    binp = spark.read.parquet(big_dir).select(*cols)
+    n_big = binp.count()
+    big_dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _noop_write(extract_turns(binp))
+        big_dt = min(big_dt, time.time() - t0)
     # correctness alongside throughput: per-turn equality ratio
     exp = spark.read.parquet(corpus_dir).select("conv_id", "turn_idx", "expected_text")
     match = (
@@ -75,7 +105,15 @@ def timed_extraction(spark, corpus_dir: str) -> dict:
         .agg(F.avg((F.col("extracted_text") == F.col("expected_text")).cast("double")))
         .collect()[0][0]
     )
-    return {"turns": n, "sec": round(dt, 3), "turns_per_sec": round(n / dt, 1), "exact_match_ratio": match}
+    return {
+        "turns": n_big,
+        "sec": round(big_dt, 3),
+        "turns_per_sec": round(n_big / big_dt, 1),
+        "short_job_turns": n,
+        "short_job_sec": round(dt, 3),
+        "short_job_turns_per_sec": round(n / dt, 1),
+        "exact_match_ratio": match,
+    }
 
 
 def _bench_emb_neardup_lsh(spark, sf_dir):
@@ -177,12 +215,7 @@ def scaling_run(corpus_dir: str, cores: int, repeat: int | None = None) -> float
         # earlier in-plan unionByName(repeat) put a 6-96 branch union into
         # the timed plan — Catalyst/AQE planning and per-branch task floors
         # grew with `repeat`, i.e. with the LEVEL, biasing high-core legs
-        big_dir = os.path.join(BENCH_TMP, f"scale_input_{cores}")
-        if not os.path.exists(os.path.join(big_dir, "_SUCCESS")):
-            big = inp
-            for _ in range(repeat - 1):
-                big = big.unionByName(inp)
-            big.write.mode("overwrite").parquet(big_dir)
+        big_dir = materialized_input(spark, corpus_dir, repeat, cores)
         binp = spark.read.parquet(big_dir).select(*cols)
         # numerator from the materialized files themselves, not n*repeat:
         # a stale cache (crashed prior run + changed corpus size or repeat

@@ -69,6 +69,14 @@ box-visible level ablations.
 Weights live in ``doctr_spark/models_data/tiny_dbnet_v1.npz``
 (regenerable via ``scripts/make_tiny_weights.py``); they load once per
 Python worker through ``resolve_model``.
+
+CONTRACT: the committed weights are sized for cell-ALIGNED pages at render
+scale 3 (the forward raises on any other scale). The word-gap safety
+analysis (bridge reach 9 px < half the 21 px word gap) assumes ink on the
+cell grid; sub-cell-shifted input (float-rotated scans) blurs the pooled
+stages and adjacent words can merge — the default ink-fuse detector with
+its exact full-resolution fallback is the route for such pages, exactly
+like a real fixed-resolution checkpoint expects its training alignment.
 """
 
 from __future__ import annotations

@@ -156,3 +156,23 @@ def test_kmeans_sampler_is_top_k_not_global_sort(spark):
     plan = sampled._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+@needs_data
+def test_kie_route_stays_single_stage(spark):
+    """extract_turns(kie=True) must keep the default route's plan shape:
+    ONE fused mapInPandas over the pruned 6-column scan, NO exchange —
+    the KIE predictions map is produced inside the same stage, never via
+    a post-hoc shuffle/join."""
+    from doctr_spark.plans.pipeline import extract_turns
+
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "CAST(doc_id AS STRING) conv_id", "CAST(0 AS INT) turn_idx",
+        "'user' role", "text", "'' tool", "current_timestamp() ts", "lang", "source",
+    )
+    plan = _formatted_plan(spark, extract_turns(src, kie=True))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "Exchange" not in plan
+    # exactly one MapInPandas node in the plan tree (the detail section
+    # repeats the name without the node-id parenthesis)
+    assert plan.count("MapInPandas (") == 1
