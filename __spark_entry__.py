@@ -471,7 +471,10 @@ def _q_hub_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctr_spark.plans.tiny_dbnet import DBNET_WEIGHTS_PATH
     from doctr_spark.sources.corpus import make_transcripts
 
-    cache = tempfile.mkdtemp(prefix="doctr_spark_hub_")
+    # stable cache dir, overwritten in place each run (executors read the
+    # weights lazily at collect time, so it cannot be deleted here; a
+    # per-run mkdtemp would leak one orphan dir per driver round)
+    cache = os.path.join(tempfile.gettempdir(), "doctr_spark_hub_cache")
     for org_name, path, arch, task in (
         ("acme/det", DBNET_WEIGHTS_PATH, "tiny_dbnet_fpn", "detection"),
         ("acme/rec", CRNN_WEIGHTS_PATH, "tiny_crnn_bilstm", "recognition"),

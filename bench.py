@@ -59,9 +59,14 @@ def materialized_input(spark, corpus_dir: str, repeat: int, cores: int) -> str:
     scheduler floors) stop dominating. Shared by the headline extraction
     leg and the scaling legs (same dir per level)."""
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    big_dir = os.path.join(BENCH_TMP, f"scale_input_{cores}")
+    inp = spark.read.parquet(corpus_dir).select(*cols)
+    n = inp.count()
+    # cache key carries repeat AND source row count: a regenerated corpus
+    # or a changed repeat formula must never silently reuse a stale dir
+    # (the timed leg would then measure different data than the
+    # exact-match check reads)
+    big_dir = os.path.join(BENCH_TMP, f"scale_input_{cores}_r{repeat}_n{n}")
     if not os.path.exists(os.path.join(big_dir, "_SUCCESS")):
-        inp = spark.read.parquet(corpus_dir).select(*cols)
         big = inp
         for _ in range(repeat - 1):
             big = big.unionByName(inp)

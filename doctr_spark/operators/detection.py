@@ -25,6 +25,11 @@ import numpy as np
 
 BIN_THRESH = 0.3
 BOX_THRESH = 0.1
+# ink-fuse dilation radii in CELLS (word-gap bridge / line-band expansion).
+# Single source of truth: ink_word_boxes' fuse steps AND the cell-space
+# fast path's edge guards both derive from these — change them here only.
+H_DILATE_CELLS = 3
+V_DILATE_CELLS = 4
 UNCLIP_RATIO = 1.5
 MIN_SIZE_BOX = 2
 
@@ -286,7 +291,9 @@ def ink_proba_map(
     into one 8-connected blob while keeping words and lines separate."""
     gray = img if img.ndim == 2 else img.mean(axis=-1)
     ink = (gray < 128).astype(np.uint8)
-    fused = dilate_horizontal(dilate_vertical(ink, 4 * scale), 3 * scale)
+    fused = dilate_horizontal(
+        dilate_vertical(ink, V_DILATE_CELLS * scale), H_DILATE_CELLS * scale
+    )
     return np.where(fused > 0, ink_level, bg_level).astype(np.float64)
 
 
@@ -311,7 +318,9 @@ def ink_word_boxes(
     gray = img if img.ndim == 2 else img.mean(axis=-1)
     ink = (gray < 128).astype(np.uint8)
     if scale > 1:
-        cells = _ink_cells_if_aligned(ink, scale, h_dilate=3, v_dilate=4)
+        cells = _ink_cells_if_aligned(
+            ink, scale, h_dilate=H_DILATE_CELLS, v_dilate=V_DILATE_CELLS
+        )
         if cells is not None:
             # cell-space fast path: the renderer places ink on an s-aligned
             # cell grid, so s x s pooling is lossless and dilation by
@@ -324,7 +333,9 @@ def ink_word_boxes(
             # tests/test_detection.py); non-aligned input (skewed scans,
             # arbitrary rasters) returns None and takes the exact
             # full-resolution path below.
-            fused_c = dilate_horizontal(dilate_vertical(cells, 4), 3)
+            fused_c = dilate_horizontal(
+                dilate_vertical(cells, V_DILATE_CELLS), H_DILATE_CELLS
+            )
             return bitmap_to_boxes(
                 None,  # type: ignore[arg-type]
                 fused_c,
@@ -335,7 +346,9 @@ def ink_word_boxes(
                 cell_scale=scale,
                 out_dims=ink.shape,
             )
-    fused = dilate_horizontal(dilate_vertical(ink, 4 * scale), 3 * scale)
+    fused = dilate_horizontal(
+        dilate_vertical(ink, V_DILATE_CELLS * scale), H_DILATE_CELLS * scale
+    )
     # 3x3 opening is the identity here: the fused mask is a union of
     # (6s+1)x(8s+1) rectangles (one per ink pixel), each >= 3x3, and
     # opening(U of >=3x3 rects) = U (every rect is a union of contained

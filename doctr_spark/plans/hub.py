@@ -142,9 +142,11 @@ def from_hub(repo_id: str, cache_dir: str | None = None) -> ModelLoader:
         cfg = json.load(fh)
     task, arch = cfg.get("task"), cfg.get("arch")
     fmt = cfg.get("format", "npz")
-    weights = os.path.join(repo_dir, cfg.get("weights", ""))
     _validate(task, arch, fmt)
-    if not os.path.exists(weights):
+    if not cfg.get("weights"):
+        raise FileNotFoundError(f"hub repo {repo_id!r} config.json has no 'weights' entry")
+    weights = os.path.join(repo_dir, cfg["weights"])
+    if not os.path.isfile(weights):
         raise FileNotFoundError(f"hub repo {repo_id!r} weights missing: {weights}")
     if fmt == "onnx":
         from .models import onnx_detector, onnx_recognizer

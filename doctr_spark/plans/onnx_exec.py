@@ -29,6 +29,7 @@ import numpy as np
 from .onnx_proto import decode_model
 
 _SUPPORTED = {"Conv", "Sigmoid", "Sub", "ReduceMax", "Transpose"}
+_FFT_CACHE_MAX = 8  # kernel spectra per session; FIFO eviction (see Conv)
 
 
 def _next_fast_len(n: int) -> int:
@@ -72,6 +73,8 @@ def _conv2d(
         fk = fft_cache.get(ck)
         if fk is None:
             fk = np.fft.rfft2(wk[:, :, ::-1, ::-1], (fh, fw))  # (M, C, fh, fw')
+            while len(fft_cache) >= _FFT_CACHE_MAX:
+                fft_cache.pop(next(iter(fft_cache)))  # FIFO eviction
             fft_cache[ck] = fk
         fx = np.fft.rfft2(xp, (fh, fw))  # (N, C, fh, fw')
         spec = np.einsum("ncyx,mcyx->nmyx", fx, fk)  # channel contraction
@@ -108,7 +111,12 @@ class NumpySession:
                 f"NumpySession does not implement ONNX ops {unsupported}; "
                 "install onnxruntime for full coverage"
             )
-        self._fft_cache: dict = {}  # kernel spectra, keyed (weights id, fft shape)
+        # kernel spectra keyed (weights id, fft shape). BOUNDED at
+        # _FFT_CACHE_MAX: sessions live for the worker process
+        # (resolve_model singleton), and on heterogeneous page sizes every
+        # distinct padded shape would otherwise pin a multi-MB complex
+        # spectrum forever (recompute cost on eviction is one rfft2)
+        self._fft_cache: dict = {}
 
     def get_inputs(self):  # minimal parity with InferenceSession
         class _Info:

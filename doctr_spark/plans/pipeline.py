@@ -228,10 +228,10 @@ def extract_pages_ocr(
                 boxes[:, :4], values, confs if confs.size else None
             )
             kie_page_texts.append(render_kie_page(page_preds))
-            for cls, preds in page_preds.items():
-                for p in preds:
+            for cls, cls_preds in page_preds.items():
+                for p in cls_preds:
                     p["page_idx"] = page_idx
-                kie_preds.setdefault(cls, []).extend(preds)
+                kie_preds.setdefault(cls, []).extend(cls_preds)
     base = (
         PAGE_SEP.join(page_texts), len(pages), n_boxes, n_artefacts, min_conf,
         words_out, artefacts_out,
