@@ -83,12 +83,18 @@ def main() -> None:
         transcripts = transcripts.repartition(salt, F.xxhash64("conv_id", "turn_idx"))
 
     if os.environ.get("DOCTR_SPARK_WARMUP"):
-        # untimed warm pass on a slice: Catalyst/codegen JIT and Python
-        # worker startup are one-time session costs, not per-input costs —
-        # excluding them keeps two-size scaling legs comparable
+        # untimed warm pass: Catalyst/codegen JIT and Python worker startup
+        # are one-time session costs, not per-input costs — excluding them
+        # keeps two-size scaling legs comparable. The pass must touch EVERY
+        # executor core: limit(N) collapses to ~one partition, leaving the
+        # other workers to spawn (zipimport numpy/pandas + model load)
+        # INSIDE the timed job — measured ~15% of a 32-core leg. A small
+        # sample preserves the input partitioning, so one tiny task lands
+        # on every core.
         from doctr_spark.plans.pipeline import extract_turns
 
-        extract_turns(transcripts.limit(200)).write.mode("overwrite").format("noop").save()
+        warm = transcripts.sample(fraction=0.02, seed=7)
+        extract_turns(warm).write.mode("overwrite").format("noop").save()
 
     t0 = time.time()
     summary = run_extraction_checkpointed(spark, transcripts, out_dir, buckets=args.buckets, grouped=not args.per_bucket_scan)

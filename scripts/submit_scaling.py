@@ -46,7 +46,7 @@ def gen_corpus(stage: str, n_convs: int) -> str:
     from doctr_spark.sources.corpus import make_transcripts
 
     in_dir = os.path.join(stage, "input")
-    spark = get_spark(cores=8, app_name="submit-proof-gen")
+    spark = get_spark(cores=32, app_name="submit-proof-gen")
     try:
         gen = make_transcripts(spark, n_convs, partitions=64, long_every=200, long_turns=96)
         gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts").write.mode(
@@ -57,7 +57,9 @@ def gen_corpus(stage: str, n_convs: int) -> str:
     return in_dir
 
 
-def submit_leg(stage: str, zip_path: str, in_dir: str, cores: int, attempt: int = 0) -> dict:
+def submit_leg(
+    stage: str, zip_path: str, in_dir: str, cores: int, attempt: int = 0, salt: int = 0
+) -> dict:
     script = os.path.join(stage, "run_extraction.py")
     out_dir = os.path.join(stage, f"out_{cores}_{attempt}")
     env = dict(os.environ, SPARK_SUBMIT_MODE="1", DOCTR_SPARK_WARMUP="1")
@@ -73,11 +75,22 @@ def submit_leg(stage: str, zip_path: str, in_dir: str, cores: int, attempt: int 
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=1024",
+        # split-fed parallelism at BOTH levels: the proof corpus is a few
+        # hundred MB, so the default 128 MB split packing would give the
+        # scan a handful of splits — run_extraction's auto-salt then fires
+        # at the WIDE level only (threshold: splits < 3x parallelism) and
+        # the two legs time DIFFERENT plans (the wide leg pays a full
+        # payload shuffle the narrow leg skips; measured as a fake 0.35
+        # "efficiency"). Shrinking maxPartitionBytes gives ~140 scan
+        # splits — the shape a 100 TB corpus has naturally — and the salt
+        # stays off for every leg (identical, shuffle-free plans).
+        "--conf", "spark.sql.files.maxPartitionBytes=2m",
         "--conf", "spark.ui.enabled=false",
         script,
         "--input", in_dir,
         "--output", out_dir,
-        "--buckets", "64",
+        "--buckets", "16",
+        "--salt-partitions", str(salt),
     ]
     proc = subprocess.run(
         cmd, cwd=stage, env=env, capture_output=True, text=True, timeout=1800
@@ -93,9 +106,12 @@ def submit_leg(stage: str, zip_path: str, in_dir: str, cores: int, attempt: int 
 
 
 def main() -> None:
+    import statistics
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=16000)
     ap.add_argument("--lo", type=int, default=2, help="N; the second leg runs 4N")
+    ap.add_argument("--rounds", type=int, default=2, help="interleaved paired rounds")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -104,17 +120,24 @@ def main() -> None:
         shutil.copy(os.path.join(REPO, "scripts", "run_extraction.py"), stage)
         zip_path = build_zip(stage)
         in_dir = gen_corpus(stage, args.convs)
-        legs = {}
-        # best-of-2 fresh-JVM runs per leg, interleaved (co-tenant bursts
-        # on this box last minutes; interleaving means a burst must span
-        # both passes to corrupt the ratio — same protocol as bench.py)
-        for attempt in range(2):
-            for cores in (args.lo, args.lo * 4):
-                r = submit_leg(stage, zip_path, in_dir, cores, attempt)
+        lo, hi = args.lo, args.lo * 4
+        salt = -1  # disabled: split-fed parallelism at both levels (see submit_leg)
+        legs: dict[int, dict] = {}
+        ratios = []
+        # paired fresh-JVM rounds, interleaved (co-tenant bursts on this
+        # box last minutes; legs of one round share conditions, so the
+        # criterion is the MEDIAN of per-round ratios — bench.py protocol)
+        for attempt in range(args.rounds):
+            pair = {}
+            for cores in (lo, hi):
+                r = submit_leg(stage, zip_path, in_dir, cores, attempt, salt=salt)
+                pair[cores] = r
                 if cores not in legs or r["turns_per_sec"] > legs[cores]["turns_per_sec"]:
                     legs[cores] = r
-        lo, hi = args.lo, args.lo * 4
-        eff = (legs[hi]["turns_per_sec"] / legs[lo]["turns_per_sec"]) / (hi / lo)
+            ratios.append(
+                (pair[hi]["turns_per_sec"] / pair[lo]["turns_per_sec"]) / (hi / lo)
+            )
+        eff = statistics.median(ratios)
         print(
             json.dumps(
                 {
@@ -125,6 +148,7 @@ def main() -> None:
                     "cores_hi": hi,
                     "tps_lo": legs[lo]["turns_per_sec"],
                     "tps_hi": legs[hi]["turns_per_sec"],
+                    "round_efficiencies": [round(r, 3) for r in ratios],
                     "efficiency": round(eff, 3),
                 }
             )

@@ -126,3 +126,15 @@ def test_extract_turns_onnx_models_equality(spark):
     n_exact = m.filter(F.col("extracted_text") == F.col("expected_text")).count()
     assert n_total > 0
     assert n_exact == n_total
+
+
+def test_numpy_executor_fft_cache_is_bounded():
+    """Heterogeneous input shapes must not grow the kernel-spectrum cache
+    without bound (sessions live for the worker process lifetime)."""
+    from doctr_spark.plans.onnx_exec import _FFT_CACHE_MAX, NumpySession
+
+    sess = NumpySession(ONNX_RECO_PATH)
+    for i in range(_FFT_CACHE_MAX + 5):
+        x = np.ones((1, 1, 30 + i, 40 + 2 * i), dtype=np.float32)
+        sess.run(None, {"input": x})
+    assert len(sess._fft_cache) <= _FFT_CACHE_MAX
