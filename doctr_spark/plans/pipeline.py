@@ -184,11 +184,17 @@ def extract_pages_ocr(
             if c.size == 0:
                 continue
             c_ink = c < 128
-            t_ys, t_xs = np.nonzero(c_ink)
-            if t_ys.size:
-                trimmed = c_ink[t_ys.min() : t_ys.max() + 1, t_xs.min() : t_xs.max() + 1]
-                fill = float(trimmed.mean())
-                big = trimmed.size > ARTEFACT_MIN_AREA_CELLS * scale * scale
+            # trim extents via axis any()+argmax (no index-array allocation
+            # over the crop — this check runs once per detected region and
+            # showed up in the extraction profile via np.nonzero)
+            rows_any = c_ink.any(axis=1)
+            if rows_any.any():
+                cols_any = c_ink.any(axis=0)
+                th = len(rows_any) - int(rows_any.argmax()) - int(rows_any[::-1].argmax())
+                tw = len(cols_any) - int(cols_any.argmax()) - int(cols_any[::-1].argmax())
+                area = th * tw
+                fill = float(c_ink.sum()) / area
+                big = area > ARTEFACT_MIN_AREA_CELLS * scale * scale
             else:
                 fill, big = 0.0, False
             if fill > ARTEFACT_FILL_THRESH and big:

@@ -121,6 +121,11 @@ def _pattern_key(bm: np.ndarray) -> bytes:
     return bm.shape[0].to_bytes(2, "big") + bm.shape[1].to_bytes(2, "big") + bm.astype(np.uint8).tobytes()
 
 
+# decoded-word memo for read_word_crop, keyed on exact trimmed-cell bytes
+# (bounded; per-worker lifetime like the model cache)
+_WORD_MEMO: dict[bytes, str] = {}
+
+
 # ------------------------------------------------------------------ layout
 
 CHAR_GAP_CELLS = 2  # blank cells between glyphs of a word
@@ -225,6 +230,14 @@ def read_word_crop(crop: np.ndarray, scale: int, unknown: str = "■") -> str:
         return _read_word_crop_px(ink, scale, unknown)
 
     cells = np.ascontiguousarray(ink[::scale, ::scale]).astype(np.uint8)
+    # word-level memo on the exact trimmed-cell bytes (a few hundred bytes
+    # per word, collision-free): corpora repeat words Zipfian-ly, and the
+    # per-glyph segment/trim/match loop below is the recognizer's hot loop
+    # — a hit replaces ~20 small-array numpy calls with one dict lookup
+    memo_key = _pattern_key(cells)
+    hit = _WORD_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     idx = np.flatnonzero(cells.any(axis=0))
     if idx.size == 0:
         return ""
@@ -240,7 +253,10 @@ def read_word_crop(crop: np.ndarray, scale: int, unknown: str = "■") -> str:
         y0 = int(rows.argmax())
         y1 = len(rows) - int(rows[::-1].argmax())
         chars.append(lut.get(_pattern_key(glyph[y0:y1]), unknown))
-    return "".join(chars)
+    word = "".join(chars)
+    if len(_WORD_MEMO) < 65536:
+        _WORD_MEMO[memo_key] = word
+    return word
 
 
 def _read_word_crop_px(ink: np.ndarray, scale: int, unknown: str) -> str:
