@@ -172,6 +172,11 @@ def run_queries(spark) -> dict[str, float]:
         "detector_zoo",
         "recognizer_zoo",
         "reco_weights_zoo",
+        "dbnet_fpn_ocr",
+        "crnn_bilstm_ocr",
+        "kie_extract",
+        "onnx_zoo",
+        "hub_zoo",
         "cube_events",
         "pricing_summary",
         "revenue_by_nation",
