@@ -244,6 +244,63 @@ def scaling_run(corpus_dir: str, cores: int, repeat: int | None = None) -> float
         spark.stop()
 
 
+def distinct_scaling_pair(lo: int, hi: int, n_convs: int = 24_000, rounds: int = 3) -> dict:
+    """Scaling pair on DISTINCT pages (no repeat materialization): the
+    repeat protocol adds a constant per-row parquet re-decompression cost
+    to both legs, which flattens per-core rates and biases the ratio
+    toward 1.0 (BENCH.md round-4 decomposition). This pair reads the
+    undiluted extraction on unique data — shorter legs, so it reports the
+    median of interleaved paired rounds and is CORROBORATIVE alongside
+    the long-leg criterion, not a replacement."""
+    import statistics
+
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.session import get_spark
+
+    corpus = os.path.join(BENCH_TMP, f"distinct_corpus_{n_convs}")
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        from doctr_spark.sources.corpus import make_transcripts
+
+        spark = get_spark(cores=CPUS, app_name="bench-distinct-gen")
+        try:
+            make_transcripts(
+                spark, n_convs, partitions=64, long_every=200, long_turns=96
+            ).select("conv_id", "turn_idx", "role", "text", "tool", "ts").write.mode(
+                "overwrite"
+            ).parquet(corpus)
+        finally:
+            spark.stop()
+
+    def leg(cores: int) -> float:
+        spark = get_spark(cores=cores, app_name=f"bench-distinct-{cores}")
+        # split-fed parallelism on a small corpus (no salt shuffle)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+        try:
+            cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            inp = spark.read.parquet(corpus).select(*cols)
+            n = inp.count()
+            _noop_write(extract_turns(inp))  # warm all workers
+            t0 = time.time()
+            _noop_write(extract_turns(inp))
+            return n / (time.time() - t0)
+        finally:
+            spark.stop()
+
+    ratios, tps = [], {lo: 0.0, hi: 0.0}
+    for _ in range(rounds):
+        r_lo, r_hi = leg(lo), leg(hi)
+        tps[lo], tps[hi] = max(tps[lo], r_lo), max(tps[hi], r_hi)
+        ratios.append((r_hi / r_lo) / (hi / lo))
+    return {
+        "cores_lo": lo,
+        "cores_hi": hi,
+        "tps_lo": round(tps[lo], 1),
+        "tps_hi": round(tps[hi], 1),
+        "round_efficiencies": [round(r, 3) for r in ratios],
+        "efficiency": round(statistics.median(ratios), 3),
+    }
+
+
 def _busyloop_scaling(levels: list[int], fn=None, n: int = 4_000_000) -> dict[int, float]:
     """Multiprocessing throughput of a reference kernel at each parallelism
     level — this box's own scaling ceiling for that kernel's resource mix.
@@ -370,6 +427,13 @@ def main() -> None:
             "criterion_pair": f"{pairs[-1]['cores_lo']}->{pairs[-1]['cores_hi']}",
             "efficiency": pairs[-1]["efficiency"],
             "efficiency_low_pair": pairs[0]["efficiency"],
+            # corroborative: the same pair on DISTINCT pages (no repeat
+            # materialization, so no per-row re-decompression dilution);
+            # read against pairs[-1]'s page_ceiling_efficiency — the box's
+            # own shared-socket kernel ceiling for this workload
+            "distinct_pair": distinct_scaling_pair(
+                pairs[-1]["cores_lo"], pairs[-1]["cores_hi"]
+            ),
         }
 
     result["value"] = round(time.time() - total0, 3)

@@ -138,3 +138,14 @@ def test_numpy_executor_fft_cache_is_bounded():
         x = np.ones((1, 1, 30 + i, 40 + 2 * i), dtype=np.float32)
         sess.run(None, {"input": x})
     assert len(sess._fft_cache) <= _FFT_CACHE_MAX
+
+
+def test_decode_model_rejects_garbage():
+    """Truncated or non-protobuf bytes fail loudly, never half-parse."""
+    from doctr_spark.plans.onnx_proto import decode_model
+
+    with open(ONNX_DET_PATH, "rb") as fh:
+        blob = fh.read()
+    for bad in (blob[: len(blob) // 2], b"\x00\x01\x02", b""):
+        with pytest.raises((ValueError, IndexError, KeyError)):
+            decode_model(bad)
