@@ -99,3 +99,48 @@ def test_roundtrip_through_extract_turns(spark):
         first.select("conv_id", "turn_idx", "extracted_text"), ["conv_id", "turn_idx"]
     )
     assert j.filter(F.col("second") != F.col("extracted_text")).count() == 0
+
+
+# ------------------------------------------------------------- visualize
+
+
+def test_visualize_page_outlines_every_word():
+    from doctr_spark.functions.visualize import WORD_COLOR, visualize_page
+
+    words = ["HELLO", "WORLD", "KAYAK"]
+    img, _ = render_page(words, scale=DEFAULT_SCALE)
+    _, n_pages, _, _, _, wnodes, _ = _extract([img])
+    overlay = visualize_page(img, wnodes)
+    assert overlay.shape == (*img.shape, 3)
+    H, W = img.shape
+    for w in wnodes:
+        y0 = int(round(w["ymin"] * H)); x0 = int(round(w["xmin"] * W))
+        assert tuple(overlay[y0, x0]) == WORD_COLOR  # outline corner drawn
+    # ink preserved away from outlines: pick an interior ink pixel
+    ys, xs = np.nonzero(img < 128)
+    inner = [(y, x) for y, x in zip(ys[:500], xs[:500])
+             if not (overlay[y, x] != [img[y, x]] * 3).any()]
+    assert inner  # most ink pixels untouched
+
+
+def test_visualize_lines_and_artefacts():
+    from doctr_spark.functions.visualize import (
+        ARTEFACT_COLOR,
+        LINE_COLOR,
+        visualize_page,
+    )
+
+    img, _ = render_page(["ALPHA", "BRAVO"], scale=DEFAULT_SCALE)
+    _, _, _, _, _, wnodes, _ = _extract([img])
+    art = [{"xmin": 0.8, "ymin": 0.1, "xmax": 0.95, "ymax": 0.3, "page_idx": 0}]
+    overlay = visualize_page(img, wnodes, artefacts=art, words_only=False)
+    H, W = img.shape
+    # the line outline sits 2 px outside the word-box union (visible
+    # nesting; an un-offset rect would be overdrawn by word outlines,
+    # since dilated+unclipped word boxes tile the line edge-to-edge)
+    ws = sorted(wnodes, key=lambda w: w["xmin"])
+    gap_x = int(round((ws[0]["xmax"] + ws[1]["xmin"]) / 2 * W))
+    ly = int(round(min(w["ymin"] for w in wnodes) * H)) - 2
+    assert tuple(overlay[ly, gap_x]) == LINE_COLOR
+    ax, ay = int(round(0.8 * W)), int(round(0.1 * H))
+    assert tuple(overlay[ay, ax]) == ARTEFACT_COLOR
