@@ -43,12 +43,18 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def build_corpus(spark, corpus_dir: str) -> None:
+def build_corpus(spark, corpus_dir: str, n_convs: int | None = None, input_cols_only: bool = False) -> None:
     """Materialize the deterministic transcript corpus once (generation —
-    page rendering — is excluded from the timed extraction)."""
+    page rendering — is excluded from the timed extraction). ONE corpus
+    shape for every bench surface (headline, scaling legs, distinct pair):
+    the distinct pair's 'same workload' claim depends on it."""
     from doctr_spark.sources.corpus import make_transcripts
 
-    gen = make_transcripts(spark, N_CONVS, partitions=64, long_every=200, long_turns=96)
+    gen = make_transcripts(
+        spark, n_convs or N_CONVS, partitions=64, long_every=200, long_turns=96
+    )
+    if input_cols_only:
+        gen = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     gen.write.mode("overwrite").parquet(corpus_dir)
 
 
@@ -258,16 +264,20 @@ def distinct_scaling_pair(lo: int, hi: int, n_convs: int = 24_000, rounds: int =
     from doctr_spark.session import get_spark
 
     corpus = os.path.join(BENCH_TMP, f"distinct_corpus_{n_convs}")
-    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-        from doctr_spark.sources.corpus import make_transcripts
+    # self-invalidating cache: regenerate when the generator source is
+    # newer than the materialized corpus (a crashed prior run can leave
+    # the dir behind; a stale-generator corpus must never be measured —
+    # same staleness class materialized_input keys against)
+    import doctr_spark.sources.corpus as corpus_mod
 
+    success = os.path.join(corpus, "_SUCCESS")
+    stale = os.path.exists(success) and os.path.getmtime(success) < os.path.getmtime(
+        corpus_mod.__file__
+    )
+    if stale or not os.path.exists(success):
         spark = get_spark(cores=CPUS, app_name="bench-distinct-gen")
         try:
-            make_transcripts(
-                spark, n_convs, partitions=64, long_every=200, long_turns=96
-            ).select("conv_id", "turn_idx", "role", "text", "tool", "ts").write.mode(
-                "overwrite"
-            ).parquet(corpus)
+            build_corpus(spark, corpus, n_convs=n_convs, input_cols_only=True)
         finally:
             spark.stop()
 

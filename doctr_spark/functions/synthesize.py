@@ -65,13 +65,25 @@ def synthesize_page(
             x = max(x, prev_end[line_key] + WORD_GAP_CELLS * s)
         cx = x
         for ch in value:
-            bm = glyph_bitmap(ch)
+            try:
+                bm = glyph_bitmap(ch)
+            except KeyError:
+                # out-of-vocab character (e.g. the recognizer's unknown
+                # sentinel, or text from a seam model with a larger
+                # vocab): advance without ink — the reference synthesize
+                # is robust to arbitrary text the same way
+                cx += (GLYPH_W + CHAR_GAP_CELLS) * s
+                continue
             block = np.kron(bm, np.ones((s, s), dtype=np.uint8))
+            # clip on ALL four edges (geometry from other engines can be
+            # unclipped/negative; draw the visible part, never raise)
+            y0c, x0c = max(y, 0), max(cx, 0)
             y1 = min(y + GLYPH_H * s, H)
             x1 = min(cx + GLYPH_W * s, W)
-            if y1 > y and x1 > cx:
-                region = page[y:y1, cx:x1]
-                region[block[: y1 - y, : x1 - cx] > 0] = 0
+            if y1 > y0c and x1 > x0c:
+                oy, ox = y0c - y, x0c - cx
+                region = page[y0c:y1, x0c:x1]
+                region[block[oy : oy + (y1 - y0c), ox : ox + (x1 - x0c)] > 0] = 0
             cx += (GLYPH_W + CHAR_GAP_CELLS) * s
         prev_end[line_key] = cx - CHAR_GAP_CELLS * s
     return page

@@ -49,23 +49,48 @@ def _read_labels(label_path: str) -> dict:
 
 
 def _images_df(spark: SparkSession, img_folder: str, names: list[str]) -> DataFrame:
-    """binaryFile scan of the labeled images, with the reference's
-    existence check (every labeled image must exist)."""
+    """binaryFile scan of EXACTLY the labeled images (explicit path list,
+    so unlabeled files in the folder are never read — a basename filter
+    after a folder-wide load would scan every file's bytes first), with
+    the reference's existence check."""
     missing = [n for n in names if not os.path.exists(os.path.join(img_folder, n))]
     if missing:
         raise FileNotFoundError(
             f"unable to locate {os.path.join(img_folder, missing[0])}"
             + (f" (+{len(missing) - 1} more)" if len(missing) > 1 else "")
         )
+    paths = [os.path.join(img_folder, n) for n in names]
     return (
         spark.read.format("binaryFile")
-        .load(img_folder)
+        .load(paths)
         .select(
             F.element_at(F.split(F.col("path"), "/"), -1).alias("img_name"),
             F.col("content").alias("image"),
             F.col("length").alias("n_bytes"),
         )
-        .filter(F.col("img_name").isin(names))
+    )
+
+
+def _attach_broadcast_columns(
+    spark: SparkSession, imgs: DataFrame, values: dict, cols: list[str], schema_suffix: str
+) -> DataFrame:
+    """Project broadcast per-image annotation columns onto the binary scan
+    (one mapInPandas, no exchange; shared by all three loaders).
+    ``values`` maps img_name -> tuple aligned with ``cols``."""
+    b = spark.sparkContext.broadcast(values)
+
+    def attach(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            for i, col in enumerate(cols):
+                pdf[col] = [
+                    b.value[n][i] if isinstance(b.value[n], tuple) else b.value[n]
+                    for n in pdf["img_name"]
+                ]
+            yield pdf
+
+    return imgs.mapInPandas(
+        attach, schema="img_name string, image binary, n_bytes long, " + schema_suffix
     )
 
 
@@ -101,18 +126,8 @@ def load_detection_dataset(
         name: _format_polygons(label, use_polygons) for name, label in labels.items()
     }
     imgs = _images_df(spark, img_folder, list(parsed))
-    b = spark.sparkContext.broadcast(parsed)
-
-    def attach(batches):
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["geoms"] = [b.value[n][0] for n in pdf["img_name"]]
-            pdf["classes"] = [b.value[n][1] for n in pdf["img_name"]]
-            yield pdf
-
-    return imgs.mapInPandas(
-        attach,
-        schema="img_name string, image binary, n_bytes long, "
+    return _attach_broadcast_columns(
+        spark, imgs, parsed, ["geoms", "classes"],
         "geoms array<array<double>>, classes array<string>",
     )
 
@@ -123,16 +138,8 @@ def load_recognition_dataset(
     """(img_name, image, n_bytes, label) — RecognitionDataset as a DataFrame."""
     labels = _read_labels(labels_path)
     imgs = _images_df(spark, img_folder, list(labels))
-    b = spark.sparkContext.broadcast(dict(labels))
-
-    def attach(batches):
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["label"] = [b.value[n] for n in pdf["img_name"]]
-            yield pdf
-
-    return imgs.mapInPandas(
-        attach, schema="img_name string, image binary, n_bytes long, label string"
+    return _attach_broadcast_columns(
+        spark, imgs, dict(labels), ["label"], "label string"
     )
 
 
@@ -153,17 +160,7 @@ def load_ocr_dataset(
             ]
         parsed[name] = (geoms, [obj["value"] for obj in words])
     imgs = _images_df(spark, img_folder, list(parsed))
-    b = spark.sparkContext.broadcast(parsed)
-
-    def attach(batches):
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["boxes"] = [b.value[n][0] for n in pdf["img_name"]]
-            pdf["labels"] = [b.value[n][1] for n in pdf["img_name"]]
-            yield pdf
-
-    return imgs.mapInPandas(
-        attach,
-        schema="img_name string, image binary, n_bytes long, "
+    return _attach_broadcast_columns(
+        spark, imgs, parsed, ["boxes", "labels"],
         "boxes array<array<double>>, labels array<string>",
     )

@@ -234,7 +234,7 @@ def read_word_crop(crop: np.ndarray, scale: int, unknown: str = "■") -> str:
     # per word, collision-free): corpora repeat words Zipfian-ly, and the
     # per-glyph segment/trim/match loop below is the recognizer's hot loop
     # — a hit replaces ~20 small-array numpy calls with one dict lookup
-    memo_key = _pattern_key(cells)
+    memo_key = unknown.encode() + _pattern_key(cells)  # decode depends on BOTH
     hit = _WORD_MEMO.get(memo_key)
     if hit is not None:
         return hit

@@ -93,7 +93,12 @@ def main() -> None:
         # on every core.
         from doctr_spark.plans.pipeline import extract_turns
 
-        warm = transcripts.sample(fraction=0.02, seed=7)
+        # fraction sized from the row count so the warm pass lands rows on
+        # every partition even for small inputs (a fixed 2% of a tiny
+        # corpus would leave most cores cold and re-introduce the bias)
+        n_rows = transcripts.count()
+        frac = min(1.0, max(0.02, (16.0 * par) / max(n_rows, 1)))
+        warm = transcripts.sample(fraction=frac, seed=7)
         extract_turns(warm).write.mode("overwrite").format("noop").save()
 
     t0 = time.time()

@@ -116,3 +116,13 @@ def test_image_bytes_never_shuffle(spark, dataset_dir):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     assert "Exchange" not in plan
+
+
+def test_unlabeled_files_are_not_loaded(spark, dataset_dir):
+    """Only labeled images appear (the scan loads explicit paths, so a
+    folder full of unlabeled files costs no I/O and no rows)."""
+    (dataset_dir / "images" / "unlabeled.png").write_bytes(b"zzz" * 1000)
+    lp = dataset_dir / "labels.json"
+    lp.write_text(json.dumps({"a.png": "ONLY"}))
+    df = load_recognition_dataset(spark, str(dataset_dir / "images"), str(lp))
+    assert [r["img_name"] for r in df.collect()] == ["a.png"]

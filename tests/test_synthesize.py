@@ -144,3 +144,26 @@ def test_visualize_lines_and_artefacts():
     assert tuple(overlay[ly, gap_x]) == LINE_COLOR
     ax, ay = int(round(0.8 * W)), int(round(0.1 * H))
     assert tuple(overlay[ay, ax]) == ARTEFACT_COLOR
+
+
+def test_synthesize_skips_out_of_vocab_chars():
+    """Unknown-sentinel / foreign characters advance without ink instead
+    of crashing (the reference synthesize is robust to arbitrary text)."""
+    nodes = [{"value": "A■B", "xmin": 0.1, "ymin": 0.3, "page_idx": 0}]
+    page = synthesize_page(nodes, (90, 300), scale=DEFAULT_SCALE)
+    t, *_ = _extract([page])
+    # the skipped glyph leaves a gap wide enough to split the word; both
+    # real glyphs survive, the sentinel never reaches the page
+    assert t.replace(" ", "") == "AB"
+
+
+def test_synthesize_clips_negative_coords():
+    """Negative geometry (other engines emit unclipped boxes) clips at
+    the canvas edge — partial ink, no exception."""
+    page = synthesize_page(
+        [{"value": "EDGE", "xmin": -0.05, "ymin": -0.05, "page_idx": 0}],
+        (90, 300),
+        scale=DEFAULT_SCALE,
+    )
+    assert page.shape == (90, 300)
+    assert (page < 128).any()  # visible part drawn
