@@ -31,6 +31,21 @@ BENCH_TMP = os.environ.get("DOCTR_SPARK_BENCH_TMP", "/tmp/doctr_spark_bench")
 N_CONVS = int(os.environ.get("DOCTR_SPARK_BENCH_CONVS", "800"))
 
 
+def _generator_fingerprint() -> str:
+    """Content hash over every module the corpus generator transitively
+    renders with (the whole sources/ package): the bench input caches key
+    on this so a change anywhere in generation invalidates them."""
+    import glob
+    import hashlib
+
+    src_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "doctr_spark", "sources")
+    h = hashlib.sha256()
+    for p in sorted(glob.glob(os.path.join(src_dir, "*.py"))):
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -67,11 +82,14 @@ def materialized_input(spark, corpus_dir: str, repeat: int, cores: int) -> str:
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     inp = spark.read.parquet(corpus_dir).select(*cols)
     n = inp.count()
-    # cache key carries repeat AND source row count: a regenerated corpus
-    # or a changed repeat formula must never silently reuse a stale dir
+    # cache key carries repeat, source row count AND the generator-package
+    # content hash: a regenerated corpus, a changed repeat formula, or an
+    # edit anywhere in the generator must never silently reuse a stale dir
     # (the timed leg would then measure different data than the
     # exact-match check reads)
-    big_dir = os.path.join(BENCH_TMP, f"scale_input_{cores}_r{repeat}_n{n}")
+    big_dir = os.path.join(
+        BENCH_TMP, f"scale_input_{cores}_r{repeat}_n{n}_{_generator_fingerprint()}"
+    )
     if not os.path.exists(os.path.join(big_dir, "_SUCCESS")):
         big = inp
         for _ in range(repeat - 1):
@@ -263,18 +281,16 @@ def distinct_scaling_pair(lo: int, hi: int, n_convs: int = 24_000, rounds: int =
     from doctr_spark.plans.pipeline import extract_turns
     from doctr_spark.session import get_spark
 
-    corpus = os.path.join(BENCH_TMP, f"distinct_corpus_{n_convs}")
-    # self-invalidating cache: regenerate when the generator source is
-    # newer than the materialized corpus (a crashed prior run can leave
-    # the dir behind; a stale-generator corpus must never be measured —
-    # same staleness class materialized_input keys against)
-    import doctr_spark.sources.corpus as corpus_mod
-
-    success = os.path.join(corpus, "_SUCCESS")
-    stale = os.path.exists(success) and os.path.getmtime(success) < os.path.getmtime(
-        corpus_mod.__file__
+    # self-invalidating cache: the dir name carries a content hash of the
+    # WHOLE generator package (corpus.py plus everything it renders pages
+    # with — font/payload encoding), so any change to any dependency lands
+    # in a fresh dir; the previous mtime-of-one-module key let edits to
+    # font.py/payloads.py silently reuse a stale corpus
+    corpus = os.path.join(
+        BENCH_TMP, f"distinct_corpus_{n_convs}_{_generator_fingerprint()}"
     )
-    if stale or not os.path.exists(success):
+    success = os.path.join(corpus, "_SUCCESS")
+    if not os.path.exists(success):
         spark = get_spark(cores=CPUS, app_name="bench-distinct-gen")
         try:
             build_corpus(spark, corpus, n_convs=n_convs, input_cols_only=True)
@@ -448,7 +464,59 @@ def main() -> None:
 
     result["value"] = round(time.time() - total0, 3)
     shutil.rmtree(BENCH_TMP, ignore_errors=True)
-    print(json.dumps(result))
+    # FULL record -> sidecar file; stdout gets ONE line the driver can
+    # parse. The driver records only the last ~2000 chars of stdout — r4's
+    # full line (~2.6 KB) was clipped mid-JSON and recorded parsed:null, so
+    # the compact line is the contract and the sidecar is the detail.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(json.dumps(_compact_line(result), separators=(",", ":")))
+
+
+def _compact_line(result: dict, cap: int = 1880) -> dict:
+    """Compress the bench record to a guaranteed-parsable stdout line:
+    2-decimal query timings, scaling summarized to the criterion numbers
+    (full per-pair/per-round detail lives in BENCH_DETAIL.json). If the
+    line would still exceed the driver's stdout-tail cap, shed the
+    per-query map, then the extraction short-job fields — headline metric,
+    scaling efficiency, and exactness always survive."""
+    line: dict = {
+        "metric": result["metric"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "value": result["value"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    if "extraction" in result:
+        line["extraction"] = dict(result["extraction"])
+    if "queries" in result:
+        line["queries"] = {k: round(v, 2) for k, v in result["queries"].items()}
+    if "scaling" in result:
+        s = result["scaling"]
+        dp = s.get("distinct_pair", {})
+        line["scaling"] = {
+            "criterion_pair": s["criterion_pair"],
+            "efficiency": s["efficiency"],
+            "efficiency_low_pair": s["efficiency_low_pair"],
+            "tps_lo": s["pairs"][-1]["tps_lo"],
+            "tps_hi": s["pairs"][-1]["tps_hi"],
+            "page_ceiling_efficiency": s["pairs"][-1]["page_ceiling_efficiency"],
+            "efficiency_vs_page_ceiling": s["pairs"][-1]["efficiency_vs_page_ceiling"],
+            "distinct_pair_efficiency": dp.get("efficiency"),
+        }
+    enc = lambda d: len(json.dumps(d, separators=(",", ":")))  # noqa: E731
+    if enc(line) > cap and "queries" in line:
+        del line["queries"]
+    if enc(line) > cap and "extraction" in line:
+        line["extraction"] = {
+            k: v
+            for k, v in line["extraction"].items()
+            if not k.startswith("short_job")
+        }
+    return line
 
 
 if __name__ == "__main__":
