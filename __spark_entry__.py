@@ -845,6 +845,83 @@ FROM (VALUES ('fast', 41, 41), ('linknet', 41, 41)) AS v(detector, n_turns, n_ex
 """
 
 
+def _q_orientation_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed-weights orientation classifier (tiny-mbv3-orient-v1) — the
+    classification-family structural equivalent of the reference's
+    MobileNetV3 OrientationPredictor (models/classification/predictor/
+    pytorch.py:17-66, zoo classification/zoo.py:41-119): matched-filter
+    conv bank at 4 rotations -> exact-match ReLU gate -> global average
+    pool -> learned 4x4 permutation head. Two invariants: (a) rotated-page
+    recovery through the pipeline seam — n_exact == n_turns on a corpus
+    whose OCR pages are ALL stored quarter-rotated; (b) the classifier
+    contract itself, distributed — for each applied rotation k the
+    predicted uprighting turn inverts it, and the predicted class value
+    lands in the reference cfg layout [0, -90, 180, 90]
+    (mobilenet/pytorch.py:61)."""
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.plans.tiny_orient import tiny_orient_classifier
+    from doctr_spark.sources.corpus import make_transcripts
+
+    gen = make_transcripts(
+        spark, 4, partitions=2, ocr_ratio=1.0, html_ratio=0.0, rot_ratio=1.0
+    )
+    inp = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    exp = gen.select("conv_id", "turn_idx", "expected_text")
+    m = extract_turns(
+        inp, detect_orientation=True, orienter=tiny_orient_classifier()
+    ).join(exp, ["conv_id", "turn_idx"])
+    extract_row = m.agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("extracted_text") == F.col("expected_text")).cast("long")).alias(
+            "n_exact"
+        ),
+    ).select(F.lit("extract_rotated").alias("variant"), "n_turns", "n_exact")
+
+    def cls(batches):
+        import numpy as np
+        import pandas as pd
+
+        from doctr_spark.plans.models import resolve_model
+        from doctr_spark.plans.tiny_orient import REFERENCE_CLASSES
+        from doctr_spark.sources.font import render_page
+
+        clf = resolve_model(*tiny_orient_classifier())
+        for pdf in batches:
+            rows = []
+            for raw in pdf["id"].tolist():
+                k = int(raw)
+                img, _ = render_page("ALPHA BRAVO 42 GO! READY.".split(), scale=3)
+                rot = np.ascontiguousarray(np.rot90(img, k))
+                idx, value, _conf = clf.predict(rot, 3)
+                est = clf(rot, 3)
+                ok = (est + k) % 4 == 0 and REFERENCE_CLASSES[idx] == value
+                rows.append({"variant": f"classify_k{k}", "n_turns": 1, "n_exact": int(ok)})
+            yield pd.DataFrame(rows, columns=["variant", "n_turns", "n_exact"])
+
+    cls_rows = spark.range(0, 4, 1, 2).mapInPandas(
+        cls, schema="variant string, n_turns long, n_exact long"
+    )
+    return extract_row.unionByName(cls_rows)
+
+
+_ORIENTATION_ZOO_ORACLE = """
+-- turn counts pinned by the deterministic generator (first 4 convs of the
+-- extract_ocr fixture = 41 turns, every OCR page stored quarter-rotated);
+-- invariants: n_exact == n_turns through the committed-weights orientation
+-- classifier seam, and the 4 distributed classifier-contract probes each
+-- invert their applied rotation with reference class-layout parity
+SELECT variant, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_exact AS BIGINT) AS n_exact
+FROM (VALUES
+  ('extract_rotated', 41, 41),
+  ('classify_k0', 1, 1),
+  ('classify_k1', 1, 1),
+  ('classify_k2', 1, 1),
+  ('classify_k3', 1, 1)
+) AS v(variant, n_turns, n_exact)
+"""
+
+
 def _q_artefact_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed artefact taxonomy through the fused pipeline, distributed:
     12 single-turn transcripts each carry a rendered page with a text line
@@ -1444,7 +1521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROUND4.md coverage table), are unchanged this round, and remain
     builder-checked via scripts/check_oracles.py every round."""
     return {
-        # --- new round-4 queries (no prior driver row)
+        # --- new round-5 queries (no prior driver row)
+        "orientation_zoo": _q_orientation_zoo,
+        # --- round-4 queries (re-slotted by the round-5 rotation below)
         "dbnet_fpn_ocr": _q_dbnet_fpn_ocr,
         "crnn_bilstm_ocr": _q_crnn_bilstm_ocr,
         "kie_extract": _q_kie_extract,
@@ -1551,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
     from doctr_spark.operators.classifier import classify_quality_sql
 
     return {
+        "orientation_zoo": _ORIENTATION_ZOO_ORACLE,
         "dbnet_fpn_ocr": _DBNET_FPN_OCR_ORACLE,
         "crnn_bilstm_ocr": _CRNN_BILSTM_OCR_ORACLE,
         "kie_extract": _KIE_EXTRACT_ORACLE,

@@ -56,6 +56,18 @@ def main() -> None:
         np.savez(DBNET_WEIGHTS_PATH, **dbnet)
         print(f"wrote {DBNET_WEIGHTS_PATH}: {sorted(dbnet)}")
 
+        from doctr_spark.plans.tiny_orient import (
+            ORIENT_WEIGHTS_PATH,
+            make_tiny_orient_weights,
+        )
+
+        orient = make_tiny_orient_weights()
+        np.savez(ORIENT_WEIGHTS_PATH, **orient)
+        print(
+            f"wrote {ORIENT_WEIGHTS_PATH}: bank="
+            f"{''.join(orient['bank_chars'].tolist())}"
+        )
+
 
 if __name__ == "__main__":
     main()
