@@ -550,6 +550,50 @@ FROM (VALUES ('onnx-det+reco', 15, 15)) AS v(models, n_turns, n_exact)
 """
 
 
+def _q_onnx_fpn_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn equality through a committed .onnx FPN detector whose op
+    set matches what torch.onnx emits for the reference DBNet FPN
+    (differentiable_binarization/pytorch.py:48-93): Conv /
+    BatchNormalization / Relu ladders, MaxPool downsamples, Resize(sizes)
+    + Add top-down merges, Concat before the 1x1 head — executed by the
+    bundled numpy executor (plans/onnx_exec.py) via the onnx_detector
+    factory with its fixed-input preprocessing (resize + symmetric pad +
+    remove_padding, the reference PreProcessor contract). Both FPN
+    branches are ablation-proven load-bearing (tests/test_onnx_zoo.py)."""
+    from doctr_spark.operators.detection import INK_MODEL_POSTPROC
+    from doctr_spark.plans.models import onnx_detector
+    from doctr_spark.plans.onnx_export import FPN_INPUT_HW, ONNX_FPN_PATH
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.sources.corpus import make_transcripts
+
+    gen = make_transcripts(spark, 2, partitions=8, ocr_ratio=1.0, html_ratio=0.0)
+    inp = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    exp = gen.select("conv_id", "turn_idx", "expected_text")
+    m = extract_turns(
+        inp,
+        detector=onnx_detector(
+            ONNX_FPN_PATH, postproc=INK_MODEL_POSTPROC, target_hw=FPN_INPUT_HW
+        ),
+    ).join(exp, ["conv_id", "turn_idx"])
+    return m.agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("extracted_text") == F.col("expected_text")).cast("long")).alias(
+            "n_exact"
+        ),
+    ).select(F.lit("onnx-fpn-det").alias("models"), "n_turns", "n_exact")
+
+
+_ONNX_FPN_ZOO_ORACLE = """
+-- turn counts pinned by the deterministic generator (first 2 convs of the
+-- extract_ocr fixture: 12+3 = 15); invariant: n_exact == n_turns through
+-- the committed FPN-shaped .onnx checkpoint (real-exporter op set:
+-- Conv/BatchNormalization/Relu/MaxPool/Resize/Add/Concat/Sigmoid)
+SELECT models, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_exact AS BIGINT) AS n_exact
+FROM (VALUES ('onnx-fpn-det', 15, 15)) AS v(models, n_turns, n_exact)
+"""
+
+
 def _q_kie_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KIE predictor as a PIPELINE entry point (reference
     models/kie_predictor/pytorch.py:69-182): extract_turns(kie=True) runs
@@ -1523,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new round-5 queries (no prior driver row)
         "orientation_zoo": _q_orientation_zoo,
+        "onnx_fpn_zoo": _q_onnx_fpn_zoo,
         # --- round-4 queries (re-slotted by the round-5 rotation below)
         "dbnet_fpn_ocr": _q_dbnet_fpn_ocr,
         "crnn_bilstm_ocr": _q_crnn_bilstm_ocr,
@@ -1631,6 +1676,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "orientation_zoo": _ORIENTATION_ZOO_ORACLE,
+        "onnx_fpn_zoo": _ONNX_FPN_ZOO_ORACLE,
         "dbnet_fpn_ocr": _DBNET_FPN_OCR_ORACLE,
         "crnn_bilstm_ocr": _CRNN_BILSTM_OCR_ORACLE,
         "kie_extract": _KIE_EXTRACT_ORACLE,

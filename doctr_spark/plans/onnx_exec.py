@@ -1,5 +1,5 @@
-"""NumpySession — a pure-numpy executor for the small ONNX op set the tiny
-model zoo exports (Conv, Sigmoid, Sub, ReduceMax, Transpose).
+"""NumpySession — a pure-numpy executor for the ONNX op set a real
+exporter emits for small detection/recognition nets.
 
 This is the sandbox fallback behind the onnx_detector / onnx_recognizer
 factories (plans/models.py): when onnxruntime is installed it is used; when
@@ -9,12 +9,28 @@ exercised either way. The run() signature mirrors
 onnxruntime.InferenceSession.run so the factories need no branching beyond
 session construction.
 
-Ops follow the public ONNX operator spec (opset 13 semantics):
+Ops follow the public ONNX operator spec (opset 13 semantics) — the set
+covers what torch.onnx emits for a DBNet-style FPN
+(reference models/detection/differentiable_binarization/pytorch.py:48-93:
+conv ladders -> Conv, inplace ReLUs -> Relu, BatchNorm2d eval stats ->
+BatchNormalization, downsample -> MaxPool, F.interpolate(size=...) ->
+Resize, ``+`` merges -> Add, torch.cat -> Concat):
+
   Conv       — 2D, group=1, dilations=1; attrs: pads [hb, wb, he, we],
                strides [sh, sw]; zero padding
+  Relu       — elementwise max(0, x)
+  MaxPool    — 2D; attrs: kernel_shape, strides (default = kernel),
+               pads (default 0), ceil_mode=0; -inf padding
+  BatchNormalization — eval mode: scale/B/mean/var inputs, attr epsilon
+  Resize     — mode='nearest', coordinate_transformation_mode=
+               'asymmetric', nearest_mode='floor' (the torch nearest
+               export); target from the ``sizes`` int64 input or the
+               ``scales`` float input
+  Add        — elementwise with numpy broadcasting
+  Concat     — attr: axis
   Sigmoid    — elementwise logistic
   Sub        — elementwise with numpy broadcasting
-  ReduceMax  — attrs: axes (ints), keepdims (int, default 1)
+  ReduceMax  — attrs: axes (ints, negatives allowed), keepdims (default 1)
   Transpose  — attr: perm (ints)
 
 Arithmetic runs in float64 internally (the deterministic tiny weights are
@@ -28,7 +44,10 @@ import numpy as np
 
 from .onnx_proto import decode_model
 
-_SUPPORTED = {"Conv", "Sigmoid", "Sub", "ReduceMax", "Transpose"}
+_SUPPORTED = {
+    "Conv", "Sigmoid", "Sub", "ReduceMax", "Transpose",
+    "Add", "Relu", "MaxPool", "Concat", "Resize", "BatchNormalization",
+}
 _FFT_CACHE_MAX = 8  # kernel spectra per session; FIFO eviction (see Conv)
 
 
@@ -95,6 +114,66 @@ def _reduce_max(x: np.ndarray, attrs: dict) -> np.ndarray:
     return x.max(axis=axes, keepdims=bool(attrs.get("keepdims", 1)))
 
 
+def _maxpool2d(x: np.ndarray, attrs: dict) -> np.ndarray:
+    kh, kw = attrs["kernel_shape"]
+    sh, sw = attrs.get("strides", [kh, kw])
+    pads = attrs.get("pads", [0, 0, 0, 0])
+    if attrs.get("ceil_mode", 0):
+        raise NotImplementedError("NumpySession MaxPool supports ceil_mode=0")
+    xp = x.astype(np.float64)
+    if any(pads):
+        xp = np.pad(
+            xp, ((0, 0), (0, 0), (pads[0], pads[2]), (pads[1], pads[3])),
+            constant_values=-np.inf,
+        )
+    win = np.lib.stride_tricks.sliding_window_view(xp, (kh, kw), axis=(2, 3))
+    return win[:, :, ::sh, ::sw].max(axis=(4, 5))
+
+
+def _batchnorm(ins: list, attrs: dict) -> np.ndarray:
+    x, scale, b, mean, var = (np.asarray(t, dtype=np.float64) for t in ins)
+    eps = attrs.get("epsilon", 1e-5)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return (x - mean.reshape(shape)) / np.sqrt(var.reshape(shape) + eps) * scale.reshape(
+        shape
+    ) + b.reshape(shape)
+
+
+def _resize_nearest(x: np.ndarray, ins: list, attrs: dict) -> np.ndarray:
+    """Opset-13 Resize, the torch nearest-export profile: inputs are
+    (X, roi?, scales?, sizes?) with unused slots as empty names;
+    mode='nearest', coordinate_transformation_mode='asymmetric',
+    nearest_mode='floor' -> src_idx = floor(dst_idx / scale)."""
+    mode = attrs.get("mode", "nearest")
+    ctm = attrs.get("coordinate_transformation_mode", "half_pixel")
+    nm = attrs.get("nearest_mode", "round_prefer_floor")
+    if mode != "nearest" or ctm != "asymmetric" or nm != "floor":
+        raise NotImplementedError(
+            f"NumpySession Resize supports nearest/asymmetric/floor, got "
+            f"{mode}/{ctm}/{nm}"
+        )
+    sizes = ins[3] if len(ins) > 3 and ins[3] is not None else None
+    scales = ins[2] if len(ins) > 2 and ins[2] is not None else None
+    in_shape = np.array(x.shape, dtype=np.float64)
+    if sizes is not None:
+        out_shape = np.asarray(sizes, dtype=np.int64)
+        sc = out_shape / in_shape
+    elif scales is not None:
+        sc = np.asarray(scales, dtype=np.float64)
+        out_shape = np.floor(in_shape * sc).astype(np.int64)
+    else:
+        raise ValueError("Resize needs a scales or sizes input")
+    out = x
+    for ax in range(x.ndim):
+        if out_shape[ax] == x.shape[ax]:
+            continue
+        idx = np.minimum(
+            (np.arange(out_shape[ax]) / sc[ax]).astype(np.int64), x.shape[ax] - 1
+        )
+        out = np.take(out, idx, axis=ax)
+    return out
+
+
 class NumpySession:
     """onnxruntime.InferenceSession-compatible executor for the supported
     op subset; raises NotImplementedError on any other node type so a real
@@ -130,7 +209,8 @@ class NumpySession:
         for k, v in feed.items():
             values[k] = np.asarray(v)
         for node in self.model["nodes"]:
-            ins = [values[i] for i in node["inputs"]]
+            # optional inputs arrive as empty names (the Resize roi slot)
+            ins = [values[i] if i else None for i in node["inputs"]]
             op = node["op_type"]
             if op == "Conv":
                 out = _conv2d(
@@ -141,6 +221,20 @@ class NumpySession:
                 out = 1.0 / (1.0 + np.exp(-ins[0].astype(np.float64)))
             elif op == "Sub":
                 out = ins[0].astype(np.float64) - ins[1].astype(np.float64)
+            elif op == "Add":
+                out = ins[0].astype(np.float64) + ins[1].astype(np.float64)
+            elif op == "Relu":
+                out = np.maximum(ins[0], 0.0)
+            elif op == "MaxPool":
+                out = _maxpool2d(ins[0], node["attrs"])
+            elif op == "BatchNormalization":
+                out = _batchnorm(ins, node["attrs"])
+            elif op == "Resize":
+                out = _resize_nearest(ins[0], ins, node["attrs"])
+            elif op == "Concat":
+                out = np.concatenate(
+                    [i.astype(np.float64) for i in ins], axis=node["attrs"]["axis"]
+                )
             elif op == "ReduceMax":
                 out = _reduce_max(ins[0], node["attrs"])
             elif op == "Transpose":

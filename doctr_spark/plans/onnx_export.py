@@ -38,6 +38,18 @@ MODELS_DIR = os.path.join(
 )
 ONNX_DET_PATH = os.path.join(MODELS_DIR, "tiny_conv_det_v1.onnx")
 ONNX_RECO_PATH = os.path.join(MODELS_DIR, "tiny_conv_reco_v1.onnx")
+ONNX_FPN_PATH = os.path.join(MODELS_DIR, "tiny_fpn_det_v1.onnx")
+
+# the FPN graph's fixed input canvas (real DBNet checkpoints fix theirs
+# too — 1024x1024, BASELINE.md; the factory's target_hw preprocessing
+# resizes+pads pages into it and remove_padding maps boxes back). Sized
+# at exactly 2x the corpus page geometry (640 wide, <= 360 tall): the
+# aspect-preserving nearest resize then degenerates to pixel replication,
+# so every ink distance doubles exactly and the 2x-resampled fuse kernel
+# reproduces the original mask topology bit-for-bit (a non-integer ratio
+# perturbs glyph gaps by +-1px and can split trailing punctuation off a
+# word — found empirically at ratio 1.6)
+FPN_INPUT_HW = (720, 1280)
 
 _RING_PENALTY = 1000.0  # any inked ring pixel drops the score below blank
 _TEMP = 10.0  # logit temperature (folded into weights/bias)
@@ -111,8 +123,129 @@ def build_recognizer_onnx() -> bytes:
     )
 
 
+def build_fpn_detector_onnx(
+    head_w: tuple[float, float] = (6.0, 4.0), topdown: bool = True
+) -> bytes:
+    """Serialize a DBNet-shaped FPN detector whose op set matches what
+    torch.onnx emits for the reference FPN
+    (models/detection/differentiable_binarization/pytorch.py:48-93:
+    Conv/BatchNormalization/Relu ladders, MaxPool downsamples,
+    Resize(sizes)+Add top-down merges, Concat before the head).
+
+    Two genuinely load-bearing branches meet at the head (ablations in
+    tests/test_onnx_zoo.py):
+
+    - the full-resolution lateral: the committed ink-fuse conv + Sigmoid —
+      sharp per-word evidence, but its head weight alone leaves on-pixels
+      below the binarization threshold (sigmoid(6*0.98 - 7) = 0.246 < 0.3);
+    - the pyramid: MaxPool/2 -> Conv3x3+Relu -> MaxPool/2 -> Conv11x9+Relu
+      (quarter-res objectness) -> Resize x2 -> Add the half-res lateral
+      (the FPN top-down merge) -> 1x1 Conv + Sigmoid gate -> Resize x2 —
+      coarse text-presence that covers every fused-mask pixel (kernel
+      reach: the quarter-res 11x9 window spans 44x36 input px, a superset
+      of the 25x19 fuse dilation) but would blur words together alone.
+
+    Concat'd and mixed by the 1x1 head (w=[6, 4], b=-7), the binarized
+    map equals the lateral's exact per-word mask gated by pyramid
+    presence: sigmoid(6*.98 + 4*1 - 7) = 0.95 on, <= 0.05 off.
+
+    ``head_w`` / ``topdown`` exist for the ablation tests only — the
+    committed file uses the defaults.
+    """
+    from .tiny_conv import WEIGHTS_PATH, _load_weights
+
+    w = _load_weights(WEIGHTS_PATH)
+    # the committed fuse kernel resampled to the graph's 2x input scale
+    # (standard practice when adapting a detection net to a different
+    # input resolution); trimmed back to odd dims so 'same' pads center
+    k2 = np.kron(w["det_k2"], np.ones((2, 2), np.float32))[:-1, :-1]
+    gain = float(w["det_gain"])
+    kh, kw = k2.shape
+    H, W = FPN_INPUT_HW
+    nodes = [
+        # stem: 1x1 conv un-normalizes to gray, BatchNorm (eval stats)
+        # carries the learned ink threshold, Sigmoid saturates to the mask
+        encode_node("Conv", ["input", "stem_w", "stem_b"], ["gray"], pads=[0, 0, 0, 0]),
+        encode_node(
+            "BatchNormalization",
+            ["gray", "bn_g", "bn_b", "bn_mean", "bn_var"],
+            ["ink_logits"],
+            epsilon=1e-5,
+        ),
+        encode_node("Sigmoid", ["ink_logits"], ["ink"]),
+        # full-res lateral: the ink-fuse evidence (committed weights)
+        encode_node(
+            "Conv", ["ink", "fuse_w", "fuse_b"], ["fused"],
+            pads=[kh // 2, kw // 2, kh // 2, kw // 2],
+        ),
+        encode_node("Sigmoid", ["fused"], ["lat_full"]),
+        # pyramid: /2 -> conv+relu -> /2 -> conv+relu
+        encode_node("MaxPool", ["ink"], ["p1"], kernel_shape=[2, 2], strides=[2, 2]),
+        encode_node("Conv", ["p1", "c2_w", "c2_b"], ["c2_pre"], pads=[1, 1, 1, 1]),
+        encode_node("Relu", ["c2_pre"], ["c2"]),
+        encode_node("MaxPool", ["c2"], ["p2"], kernel_shape=[2, 2], strides=[2, 2]),
+        encode_node("Conv", ["p2", "c3_w", "c3_b"], ["c3_pre"], pads=[7, 6, 7, 6]),
+        encode_node("Relu", ["c3_pre"], ["c3"]),
+    ]
+    if topdown:
+        nodes += [
+            # top-down merge: upsample quarter-res objectness, add the
+            # half-res lateral (the FPN '+' that torch exports as
+            # Resize(sizes) -> Add)
+            encode_node("Resize", ["c3", "", "", "sizes_half"], ["u3"],
+                        mode="nearest", coordinate_transformation_mode="asymmetric",
+                        nearest_mode="floor"),
+            encode_node("Add", ["u3", "c2"], ["m2"]),
+        ]
+        gate_in = "m2"
+    else:  # ablation: no top-down path — the half-res lateral alone
+        gate_in = "c2"
+    nodes += [
+        encode_node("Conv", [gate_in, "gate_w", "gate_b"], ["gate_pre"], pads=[0, 0, 0, 0]),
+        encode_node("Sigmoid", ["gate_pre"], ["gate"]),
+        encode_node("Resize", ["gate", "", "", "sizes_full"], ["pyr_full"],
+                    mode="nearest", coordinate_transformation_mode="asymmetric",
+                    nearest_mode="floor"),
+        # head: concat the two branches, 1x1 mix, binarizable proba
+        encode_node("Concat", ["lat_full", "pyr_full"], ["feats"], axis=1),
+        encode_node("Conv", ["feats", "head_w", "head_b"], ["head"], pads=[0, 0, 0, 0]),
+        encode_node("Sigmoid", ["head"], ["proba"]),
+    ]
+    inits = {
+        "stem_w": np.array(255.0, np.float32).reshape(1, 1, 1, 1),
+        "stem_b": np.zeros(1, np.float32),
+        # BN eval stats re-expressing the trained stem affine
+        # det_w1 * gray + det_b1: gamma = det_w1 * sqrt(var + eps),
+        # mean = -det_b1 / det_w1, beta = 0, var = 1
+        "bn_g": np.array([float(w["det_w1"])], np.float32),
+        "bn_b": np.zeros(1, np.float32),
+        "bn_mean": np.array([-float(w["det_b1"]) / float(w["det_w1"])], np.float32),
+        "bn_var": np.ones(1, np.float32),
+        "fuse_w": (gain * k2).reshape(1, 1, kh, kw),
+        "fuse_b": np.array([gain * float(w["det_b2"])], np.float32),
+        "c2_w": np.ones((1, 1, 3, 3), np.float32),
+        "c2_b": np.array([-0.2], np.float32),
+        "c3_w": np.ones((1, 1, 15, 13), np.float32),
+        "c3_b": np.array([-0.2], np.float32),
+        "gate_w": np.array(30.0, np.float32).reshape(1, 1, 1, 1),
+        "gate_b": np.array([-6.0], np.float32),
+        "head_w": np.array(head_w, np.float32).reshape(1, 2, 1, 1),
+        "head_b": np.array([-7.0], np.float32),
+        "sizes_half": np.array([1, 1, H // 2, W // 2], np.int64),
+        "sizes_full": np.array([1, 1, H, W], np.int64),
+    }
+    return encode_model(
+        "tiny-fpn-det", nodes, inits,
+        inputs={"input": [1, 1, H, W]}, outputs={"proba": [1, 1, H, W]},
+    )
+
+
 def write_onnx_models() -> None:
-    for path, build in ((ONNX_DET_PATH, build_detector_onnx), (ONNX_RECO_PATH, build_recognizer_onnx)):
+    for path, build in (
+        (ONNX_DET_PATH, build_detector_onnx),
+        (ONNX_RECO_PATH, build_recognizer_onnx),
+        (ONNX_FPN_PATH, build_fpn_detector_onnx),
+    ):
         blob = build()
         with open(path, "wb") as fh:
             fh.write(blob)

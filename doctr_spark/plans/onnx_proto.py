@@ -35,6 +35,7 @@ ATTR_FLOAT, ATTR_INT, ATTR_STRING, ATTR_TENSOR = 1, 2, 3, 4
 ATTR_FLOATS, ATTR_INTS = 6, 7
 # TensorProto.DataType
 DT_FLOAT = 1
+DT_INT64 = 7
 
 
 # ------------------------------------------------------------------ encode
@@ -74,12 +75,20 @@ def _packed_ints(num: int, vals: list[int]) -> bytes:
 
 
 def encode_tensor(name: str, arr: np.ndarray) -> bytes:
-    """TensorProto for a float32 tensor, data in raw_data (little-endian)."""
-    a = np.ascontiguousarray(arr, dtype=np.float32)
+    """TensorProto for a float32 or int64 tensor, data in raw_data
+    (little-endian). int64 is needed for Resize ``sizes`` inputs, which
+    real exporters emit as INT64 initializers."""
+    arr = np.asarray(arr)
+    if np.issubdtype(arr.dtype, np.integer):
+        a = np.ascontiguousarray(arr, dtype=np.int64)
+        dt, raw = DT_INT64, a.astype("<i8").tobytes()
+    else:
+        a = np.ascontiguousarray(arr, dtype=np.float32)
+        dt, raw = DT_FLOAT, a.astype("<f4").tobytes()
     msg = _packed_ints(1, list(a.shape))
-    msg += _int_field(2, DT_FLOAT)
+    msg += _int_field(2, dt)
     msg += _str_field(8, name)
-    msg += _len_field(9, a.astype("<f4").tobytes())
+    msg += _len_field(9, raw)
     return msg
 
 
@@ -89,6 +98,8 @@ def encode_attr(name: str, value: Any) -> bytes:
         msg += _field(2, 5) + struct.pack("<f", value) + _int_field(20, ATTR_FLOAT)
     elif isinstance(value, int):
         msg += _int_field(3, value) + _int_field(20, ATTR_INT)
+    elif isinstance(value, str):
+        msg += _len_field(4, value.encode("utf-8")) + _int_field(20, ATTR_STRING)
     elif isinstance(value, (list, tuple)) and all(isinstance(v, int) for v in value):
         msg += _packed_ints(8, list(value)) + _int_field(20, ATTR_INTS)
     else:
@@ -179,11 +190,21 @@ def _walk(buf: bytes) -> dict[int, list]:
     return fields
 
 
-def _packed_varints(blob: bytes) -> list[int]:
+def _signed64(v: int) -> int:
+    """Reinterpret a decoded varint as int64: protobuf encodes negative
+    int64 as 10-byte two's-complement, so a raw decode of e.g. axes=[-1]
+    reads as ~2^64 — sign-reconstruct it (and reject values outside the
+    int64 range outright: they cannot come from a valid int64 field)."""
+    if v >= 1 << 64:
+        raise ValueError(f"varint {v} out of int64 range")
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def _packed_varints(blob: bytes, signed: bool = False) -> list[int]:
     out, pos = [], 0
     while pos < len(blob):
         v, pos = _read_varint(blob, pos)
-        out.append(v)
+        out.append(_signed64(v) if signed else v)
     return out
 
 
@@ -191,15 +212,25 @@ def _decode_tensor(blob: bytes) -> tuple[str, np.ndarray]:
     f = _walk(blob)
     dims = _packed_varints(f[1][0]) if 1 in f else []
     dtype = f[2][0] if 2 in f else DT_FLOAT
-    if dtype != DT_FLOAT:
-        raise ValueError(f"only float32 tensors supported, got data_type={dtype}")
     name = f[8][0].decode("utf-8") if 8 in f else ""
-    if 9 in f:
-        arr = np.frombuffer(f[9][0], dtype="<f4").reshape(dims)
-    elif 4 in f:  # packed float_data
-        arr = np.frombuffer(f[4][0], dtype="<f4").reshape(dims)
+    if dtype == DT_FLOAT:
+        if 9 in f:
+            arr = np.frombuffer(f[9][0], dtype="<f4").reshape(dims)
+        elif 4 in f:  # packed float_data
+            arr = np.frombuffer(f[4][0], dtype="<f4").reshape(dims)
+        else:
+            raise ValueError(f"tensor {name} has no data")
+    elif dtype == DT_INT64:
+        if 9 in f:
+            arr = np.frombuffer(f[9][0], dtype="<i8").reshape(dims)
+        elif 7 in f:  # packed int64_data
+            arr = np.asarray(_packed_varints(f[7][0], signed=True), dtype=np.int64).reshape(dims)
+        else:
+            raise ValueError(f"tensor {name} has no data")
     else:
-        raise ValueError(f"tensor {name} has no data")
+        raise ValueError(
+            f"only float32/int64 tensors supported, got data_type={dtype}"
+        )
     return name, arr.copy()
 
 
@@ -210,9 +241,11 @@ def _decode_attr(blob: bytes) -> tuple[str, Any]:
     if atype == ATTR_FLOAT or (atype is None and 2 in f):
         return name, struct.unpack("<f", f[2][0])[0]
     if atype == ATTR_INT or (atype is None and 3 in f):
-        return name, f[3][0]
+        return name, _signed64(f[3][0])
+    if atype == ATTR_STRING or (atype is None and 4 in f):
+        return name, f[4][0].decode("utf-8")
     if atype == ATTR_INTS or (atype is None and 8 in f):
-        return name, _packed_varints(f[8][0])
+        return name, _packed_varints(f[8][0], signed=True)
     raise ValueError(f"unsupported attribute type {atype} for {name}")
 
 

@@ -149,3 +149,178 @@ def test_decode_model_rejects_garbage():
     for bad in (blob[: len(blob) // 2], b"\x00\x01\x02", b""):
         with pytest.raises((ValueError, IndexError, KeyError)):
             decode_model(bad)
+
+
+# ------------------------------------------------- real-exporter op set
+
+
+def _exec_single(op_nodes, inits, x, in_shape, out_name="y"):
+    """Run a tiny graph through NumpySession via a real encode/decode."""
+    import os
+    import tempfile
+
+    from doctr_spark.plans.onnx_exec import NumpySession
+
+    blob = encode_model(
+        "t", op_nodes, inits, inputs={"x": list(in_shape)}, outputs={out_name: ["d"]}
+    )
+    p = os.path.join(tempfile.mkdtemp(), "t.onnx")
+    with open(p, "wb") as fh:
+        fh.write(blob)
+    return NumpySession(p).run(None, {"x": x})[0]
+
+
+def test_negative_int_attrs_sign_reconstruct():
+    """Protobuf encodes negative int64 as two's-complement varints; the
+    decoder must sign-reconstruct (a real exporter's ReduceMax axes=[-1]
+    otherwise reads as ~2^64)."""
+    blob = encode_model(
+        "neg",
+        [encode_node("ReduceMax", ["x"], ["y"], axes=[-1], keepdims=0)],
+        {},
+        inputs={"x": [2, 3]},
+        outputs={"y": [2]},
+    )
+    m = decode_model(blob)
+    assert m["nodes"][0]["attrs"]["axes"] == [-1]
+    x = np.array([[1, 5, 2], [7, 3, 4]], dtype=np.float32)
+    out = _exec_single(
+        [encode_node("ReduceMax", ["x"], ["y"], axes=[-1], keepdims=0)],
+        {}, x, (2, 3),
+    )
+    np.testing.assert_array_equal(out, np.array([5.0, 7.0], np.float32))
+
+
+def test_string_attr_and_int64_tensor_round_trip():
+    sizes = np.array([1, 1, 8, 8], dtype=np.int64)
+    blob = encode_model(
+        "rt2",
+        [encode_node("Resize", ["x", "", "", "sizes"], ["y"], mode="nearest",
+                     coordinate_transformation_mode="asymmetric", nearest_mode="floor")],
+        {"sizes": sizes},
+        inputs={"x": [1, 1, 4, 4]},
+        outputs={"y": [1, 1, 8, 8]},
+    )
+    m = decode_model(blob)
+    a = m["nodes"][0]["attrs"]
+    assert a["mode"] == "nearest" and a["nearest_mode"] == "floor"
+    assert m["initializers"]["sizes"].dtype == np.int64
+    np.testing.assert_array_equal(m["initializers"]["sizes"], sizes)
+
+
+def test_maxpool_add_relu_concat_bn_resize_semantics():
+    """Each new op against hand-computed opset-13 results."""
+    x = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
+    out = _exec_single(
+        [encode_node("MaxPool", ["x"], ["y"], kernel_shape=[2, 2], strides=[2, 2])],
+        {}, x, (1, 1, 4, 4),
+    )
+    np.testing.assert_array_equal(out[0, 0], np.array([[5, 7], [13, 15]], np.float32))
+
+    out = _exec_single(
+        [encode_node("Add", ["x", "b"], ["s"]), encode_node("Relu", ["s"], ["y"])],
+        {"b": np.full((1, 1, 4, 4), -7.0, np.float32)}, x, (1, 1, 4, 4),
+    )
+    np.testing.assert_array_equal(out, np.maximum(x - 7.0, 0.0))
+
+    out = _exec_single(
+        [encode_node("Concat", ["x", "x"], ["y"], axis=1)], {}, x, (1, 1, 4, 4)
+    )
+    assert out.shape == (1, 2, 4, 4)
+
+    # BN eval mode: (x - mean) / sqrt(var + eps) * g + b
+    out = _exec_single(
+        [encode_node("BatchNormalization", ["x", "g", "b", "m", "v"], ["y"], epsilon=1e-5)],
+        {
+            "g": np.array([2.0], np.float32), "b": np.array([1.0], np.float32),
+            "m": np.array([3.0], np.float32), "v": np.array([4.0], np.float32),
+        },
+        x, (1, 1, 4, 4),
+    )
+    np.testing.assert_allclose(
+        out, (x - 3.0) / np.sqrt(4.0 + 1e-5) * 2.0 + 1.0, rtol=1e-5, atol=1e-6
+    )
+
+    # Resize nearest/asymmetric/floor from sizes: out[i] = in[floor(i/2)]
+    small = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32).reshape(1, 1, 2, 2)
+    out = _exec_single(
+        [encode_node("Resize", ["x", "", "", "sz"], ["y"], mode="nearest",
+                     coordinate_transformation_mode="asymmetric", nearest_mode="floor")],
+        {"sz": np.array([1, 1, 4, 4], np.int64)}, small, (1, 1, 2, 2),
+    )
+    np.testing.assert_array_equal(out[0, 0], np.kron(small[0, 0], np.ones((2, 2), np.float32)))
+
+
+# --------------------------------------------------------- FPN detector
+
+
+def _fpn_detector_from(blob: bytes):
+    import os
+    import tempfile
+
+    from doctr_spark.plans.models import resolve_model
+    from doctr_spark.plans.onnx_export import FPN_INPUT_HW
+
+    p = os.path.join(tempfile.mkdtemp(), "fpn.onnx")
+    with open(p, "wb") as fh:
+        fh.write(blob)
+    return resolve_model(
+        *onnx_detector(p, postproc=INK_MODEL_POSTPROC, target_hw=FPN_INPUT_HW)
+    )
+
+
+FPN_WORDS = "ALPHA BRAVO CHARLIE 42 100% READY. GO! WHY? OK,".split()
+
+
+def test_committed_fpn_onnx_matches_builder_and_op_set():
+    from doctr_spark.plans.onnx_export import ONNX_FPN_PATH, build_fpn_detector_onnx
+
+    with open(ONNX_FPN_PATH, "rb") as fh:
+        blob = fh.read()
+    assert blob == build_fpn_detector_onnx()
+    m = decode_model(blob)
+    ops = {n["op_type"] for n in m["nodes"]}
+    # the op set torch.onnx emits for the reference FPN
+    # (differentiable_binarization/pytorch.py:48-93)
+    assert {"Conv", "BatchNormalization", "Relu", "MaxPool", "Resize",
+            "Add", "Concat", "Sigmoid"} <= ops
+    assert m["initializers"]["sizes_full"].dtype == np.int64
+
+
+def test_fpn_detector_extraction_exact():
+    from doctr_spark.plans.onnx_export import build_fpn_detector_onnx
+    from doctr_spark.plans.pipeline import extract_pages_ocr
+    from doctr_spark.sources.font import expected_page_lines
+
+    det = _fpn_detector_from(build_fpn_detector_onnx())
+    img, _ = render_page(FPN_WORDS, scale=3)
+    text, *_ = extract_pages_ocr([img], 3, detector=det)
+    assert text == "\n".join(expected_page_lines(FPN_WORDS, scale=3))
+
+
+def test_fpn_ablation_each_branch_load_bearing():
+    """Zeroing either head input (the sharp lateral or the pyramid gate)
+    breaks extraction — both FPN branches carry signal, and the top-down
+    Resize+Add merge is required for the pyramid to cover the fused mask."""
+    from doctr_spark.plans.onnx_export import build_fpn_detector_onnx
+    from doctr_spark.plans.pipeline import extract_pages_ocr
+    from doctr_spark.sources.font import expected_page_lines
+
+    img, _ = render_page(FPN_WORDS, scale=3)
+    want = "\n".join(expected_page_lines(FPN_WORDS, scale=3))
+    # (a) pyramid weight off: lateral alone sits below the binarization
+    # threshold (sigmoid(6*.98 - 7) = 0.246 < 0.3) -> nothing detected
+    det = _fpn_detector_from(build_fpn_detector_onnx(head_w=(6.0, 0.0)))
+    text, _, n_boxes, *_ = extract_pages_ocr([img], 3, detector=det)
+    assert n_boxes == 0
+    # (b) lateral weight off: the coarse gate alone cannot clear the head
+    # bias either -> no boxes (words are never localized)
+    det = _fpn_detector_from(build_fpn_detector_onnx(head_w=(0.0, 4.0)))
+    text, _, n_boxes, *_ = extract_pages_ocr([img], 3, detector=det)
+    assert text != want
+    # (c) top-down merge removed (gate fed by the half-res lateral only):
+    # the pyramid no longer covers the fuse dilation, the mask erodes,
+    # and extraction breaks
+    det = _fpn_detector_from(build_fpn_detector_onnx(topdown=False))
+    text, *_ = extract_pages_ocr([img], 3, detector=det)
+    assert text != want
