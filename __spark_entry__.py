@@ -594,6 +594,130 @@ FROM (VALUES ('onnx-fpn-det', 15, 15)) AS v(models, n_turns, n_exact)
 """
 
 
+def _q_archive_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-benchmark archive loaders (sources/archives.py: FUNSD
+    datasets/funsd.py:21-120, CORD cord.py:20-120, SROIE sroie.py:20-108)
+    over deterministic mock archives built exactly the way the reference's
+    own tests mock them (tests/conftest.py:113-783: zip layout + per-image
+    annotations, opaque image bytes). Pins, per dataset: image count,
+    parsed word count (empty-text words dropped), the straight-box
+    coordinate sum (min/max reduction parity), and the polygon-corner
+    coordinate sum (use_polygons corner-order parity) — any drift in the
+    format parsing or the box conversion moves a sum."""
+    import json as _json
+    import os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from doctr_spark.sources.archives import (
+        extract_archive,
+        load_cord,
+        load_funsd,
+        load_sroie,
+    )
+
+    tmp = _tempfile.mkdtemp(prefix="doctr_spark_archives_")
+    base = os.path.join(tmp, "src")
+    funsd_ann = {
+        "form": [
+            {"text": "TOTAL:", "label": "question", "id": 0, "linking": [],
+             "words": [{"box": [10, 20, 58, 32], "text": "TOTAL:"}]},
+            {"text": "42.50 EUR", "label": "answer", "id": 1, "linking": [],
+             "words": [{"box": [64, 20, 104, 32], "text": "42.50"},
+                       {"box": [110, 20, 128, 32], "text": "EUR"}]},
+            {"text": "", "label": "other", "id": 2, "linking": [],
+             "words": [{"box": [10, 40, 30, 52], "text": ""}]},
+        ]
+    }
+    cord_ann = {
+        "dontcare": [],
+        "valid_line": [
+            {"category": "menu.nm", "group_id": 1,
+             "words": [{"text": "LATTE",
+                        "quad": {"x1": 100, "y1": 50, "x2": 160, "y2": 52,
+                                 "x3": 158, "y3": 70, "x4": 98, "y4": 68}}]},
+            {"category": "menu.price", "group_id": 2,
+             "words": [{"text": "4.00",
+                        "quad": {"x1": 200, "y1": 50, "x2": 240, "y2": 50,
+                                 "x3": 240, "y3": 70, "x4": 200, "y4": 70}}]},
+        ],
+    }
+    sroie_ann = (
+        "12,30,180,30,180,60,12,60,ACME STORE\n"
+        "20,70,120,75,118,95,18,90,RECEIPT,NO,7\n"
+        "30,110,90,110,90,130,30,130,9.99\n"
+    )
+    # FUNSD layout
+    sub = os.path.join(base, "funsd", "dataset", "training_data")
+    os.makedirs(os.path.join(sub, "images")); os.makedirs(os.path.join(sub, "annotations"))
+    for i in range(2):
+        with open(os.path.join(sub, "images", f"{i}.png"), "wb") as fh:
+            fh.write(b"\x89PNG-funsd" + bytes([i]))
+        with open(os.path.join(sub, "annotations", f"{i}.json"), "w") as fh:
+            _json.dump(funsd_ann, fh)
+    # CORD layout
+    cord = os.path.join(base, "cord")
+    os.makedirs(os.path.join(cord, "image")); os.makedirs(os.path.join(cord, "json"))
+    for i in range(2):
+        with open(os.path.join(cord, "image", f"r{i}.png"), "wb") as fh:
+            fh.write(b"\x89PNG-cord" + bytes([i]))
+        with open(os.path.join(cord, "json", f"r{i}.json"), "w") as fh:
+            _json.dump(cord_ann, fh)
+    # SROIE layout
+    sroie = os.path.join(base, "sroie")
+    os.makedirs(os.path.join(sroie, "images")); os.makedirs(os.path.join(sroie, "annotations"))
+    for i in range(2):
+        with open(os.path.join(sroie, "images", f"{i}.jpg"), "wb") as fh:
+            fh.write(b"\xff\xd8-sroie" + bytes([i]))
+        with open(os.path.join(sroie, "annotations", f"{i}.txt"), "w", encoding="latin-1") as fh:
+            fh.write(sroie_ann)
+    loads = {}
+    for name, src, load in (
+        ("funsd", os.path.join(base, "funsd"), lambda s, r, **k: load_funsd(s, r, train=True, **k)),
+        ("cord", cord, load_cord),
+        ("sroie", sroie, load_sroie),
+    ):
+        zp = _shutil.make_archive(os.path.join(tmp, name), "zip", src)
+        root = extract_archive(zp, os.path.join(tmp, f"x_{name}"))
+        loads[name] = (load(spark, root), load(spark, root, use_polygons=True))
+    frames = []
+    coord_sum = F.expr("aggregate(flatten(geoms), cast(0 as double), (a, x) -> a + x)")
+    for name, (straight, poly) in loads.items():
+        s = straight.agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.size("labels")).alias("n_words"),
+            F.sum(coord_sum).cast("long").alias("coord_sum"),
+        )
+        p = poly.agg(F.sum(coord_sum).cast("long").alias("poly_coord_sum"))
+        frames.append(
+            s.crossJoin(p).select(
+                F.lit(name).alias("dataset"), "n_images", "n_words",
+                "coord_sum", "poly_coord_sum",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+_ARCHIVE_DATASETS_ORACLE = """
+-- hand-computed from the mock-archive fixtures (2 images per dataset):
+-- FUNSD 3 non-empty words/img, straight sum 630/img, corner sum 1260/img;
+-- CORD 2 words/img (empty dropped), min/max 938/img, quad corners 1876/img;
+-- SROIE 3 rows/img incl. a comma-containing label, 945/img, corners 1890/img
+SELECT dataset, CAST(n_images AS BIGINT) AS n_images,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(coord_sum AS BIGINT) AS coord_sum,
+       CAST(poly_coord_sum AS BIGINT) AS poly_coord_sum
+FROM (VALUES
+  ('funsd', 2, 6, 1260, 2520),
+  ('cord', 2, 4, 1876, 3752),
+  ('sroie', 2, 6, 1890, 3780)
+) AS v(dataset, n_images, n_words, coord_sum, poly_coord_sum)
+"""
+
+
 def _q_kie_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KIE predictor as a PIPELINE entry point (reference
     models/kie_predictor/pytorch.py:69-182): extract_turns(kie=True) runs
@@ -1568,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-5 queries (no prior driver row)
         "orientation_zoo": _q_orientation_zoo,
         "onnx_fpn_zoo": _q_onnx_fpn_zoo,
+        "archive_datasets": _q_archive_datasets,
         # --- round-4 queries (re-slotted by the round-5 rotation below)
         "dbnet_fpn_ocr": _q_dbnet_fpn_ocr,
         "crnn_bilstm_ocr": _q_crnn_bilstm_ocr,
@@ -1677,6 +1802,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "orientation_zoo": _ORIENTATION_ZOO_ORACLE,
         "onnx_fpn_zoo": _ONNX_FPN_ZOO_ORACLE,
+        "archive_datasets": _ARCHIVE_DATASETS_ORACLE,
         "dbnet_fpn_ocr": _DBNET_FPN_OCR_ORACLE,
         "crnn_bilstm_ocr": _CRNN_BILSTM_OCR_ORACLE,
         "kie_extract": _KIE_EXTRACT_ORACLE,

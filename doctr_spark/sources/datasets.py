@@ -1,6 +1,8 @@
 """Dataset loaders for docTR's OWN custom-data formats, Spark-first —
-the three the reference defines for user fine-tuning data (the 13
-public-benchmark archive loaders remain out of scope; the driver supplies
+the three the reference defines for user fine-tuning data (the
+public-benchmark archive loaders FUNSD/CORD/SROIE live in
+sources/archives.py and share this module's scan+broadcast plan; the
+remaining 10 archive formats stay out of scope — the driver supplies
 parquet tables for benchmarks):
 
 - DetectionDataset   (datasets/detection.py:20-96):
