@@ -473,8 +473,13 @@ def _q_hub_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stable cache dir, overwritten in place each run (executors read the
     # weights lazily at collect time, so it cannot be deleted here; a
-    # per-run mkdtemp would leak one orphan dir per driver round)
-    cache = os.path.join(tempfile.gettempdir(), "doctr_spark_hub_cache")
+    # per-run mkdtemp would leak one orphan dir per driver round). Keyed
+    # by uid so concurrent users on a shared box never collide on the
+    # path or each other's permissions (local-mode assumption: driver and
+    # executors share this filesystem)
+    cache = os.path.join(
+        tempfile.gettempdir(), f"doctr_spark_hub_cache_{os.getuid()}"
+    )
     for org_name, path, arch, task in (
         ("acme/det", DBNET_WEIGHTS_PATH, "tiny_dbnet_fpn", "detection"),
         ("acme/rec", CRNN_WEIGHTS_PATH, "tiny_crnn_bilstm", "recognition"),

@@ -50,6 +50,7 @@ def synthesize_page(
         )
     )
     prev_end: dict[tuple, int] = {}  # per (line) -> last drawn ink x1
+    line_rows: list[int] = []  # fallback line clusters (cell rows)
     for wd in mine:
         value = wd["value"]
         x = int(round(wd["xmin"] * W / s)) * s
@@ -60,7 +61,21 @@ def synthesize_page(
         # fuse reach on re-extraction. Enforce the renderer's word-gap
         # safety band within a line (same rule the reference's synthesize
         # applies implicitly by re-rasterizing with font metrics).
-        line_key = wd.get("line_idx", round(wd["ymin"] * 100))
+        if "line_idx" in wd:
+            line_key = ("idx", wd["line_idx"])
+        else:
+            # foreign-engine nodes (no line_idx): cluster by drawn cell
+            # row — words whose rows sit within a glyph height of an open
+            # line share it, so slightly-different ymin values from
+            # another engine still get the same-line gap enforcement
+            row = y // s
+            for ci, cr in enumerate(line_rows):
+                if abs(row - cr) < GLYPH_H:
+                    line_key = ("row", ci)
+                    break
+            else:
+                line_rows.append(row)
+                line_key = ("row", len(line_rows) - 1)
         if line_key in prev_end:
             x = max(x, prev_end[line_key] + WORD_GAP_CELLS * s)
         cx = x

@@ -38,13 +38,16 @@ def exact_duplicates(
 ) -> DataFrame:
     """Groups of exact duplicates (normalized): fingerprint, survivor id
     (the group minimum), group size, and a BOUNDED id sample. One shuffle
-    on the 16-byte fingerprint, map-side combined.
+    on the 16-byte fingerprint.
 
-    The member list is capped at ``max_sample_ids`` BEFORE aggregation (a
-    row_number window over the same shuffle key, so the cap costs no extra
-    exchange and the agg buffer itself stays bounded): a pathological
-    fingerprint with 10^7 members must not build a 10^7-element array —
-    callers needing the full membership join the source on ``fp``."""
+    The member list is capped at ``max_sample_ids`` BEFORE aggregation via
+    a row_number window over the same shuffle key. Trade-off, stated
+    plainly: the window adds no extra exchange but forces a per-partition
+    SORT of every group on the reduce side and disables the aggregation's
+    map-side combine — what it buys is a BOUNDED agg buffer (sorts spill
+    to disk; a collect_list buffer does not): a pathological fingerprint
+    with 10^7 members must not build a 10^7-element in-memory array.
+    Callers needing the full membership join the source on ``fp``."""
     w = Window.partitionBy("fp").orderBy("id")
     return (
         df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))

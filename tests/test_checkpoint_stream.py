@@ -521,3 +521,71 @@ def test_stateful_stream_foreachbatch_progression(spark, tmp_path_factory):
     assert emitted[1] == {"c1": (5, 4), "c3": (1, 0)}  # update mode: changed keys only
     # running counts never decrease across micro-batches
     assert emitted[1]["c1"][0] > emitted[0]["c1"][0]
+
+
+def test_streaming_extraction_per_microbatch_exact(spark, tmp_path_factory):
+    """extract_turns itself through REAL readStream micro-batches (file
+    source, one file per trigger) observed via foreachBatch: EVERY
+    micro-batch's OCR-payload turns match expected_text exactly
+    (per-batch exact_match_ratio == 1.0, not just the final table) — the
+    resumable continuous-ingest story executed end-to-end. The fused
+    stage is stateless per turn, so batch boundaries cannot change any
+    turn's output."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from doctr_spark.streaming.stream import extract_stream, stream_transcripts
+
+    gen = make_transcripts(spark, 6, partitions=2, ocr_ratio=1.0, html_ratio=0.0).cache()
+    expected = {
+        (r["conv_id"], r["turn_idx"]): r["expected_text"]
+        for r in gen.select("conv_id", "turn_idx", "expected_text").collect()
+    }
+    base = tmp_path_factory.mktemp("stream_exact")
+    in_dir = base / "in"
+    in_dir.mkdir()
+    # three single-file arrivals -> three micro-batches
+    convs = sorted({k[0] for k in expected})
+    thirds = [convs[0::3], convs[1::3], convs[2::3]]
+    for i, group in enumerate(thirds):
+        tmp = str(base / f"stage_{i}")
+        (
+            gen.filter(F.col("conv_id").isin(group))
+            .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+        )
+        shutil.copy(
+            glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            str(in_dir / f"{i}.parquet"),
+        )
+        _time.sleep(1.1)  # file-source ordering is by mtime
+
+    stream = stream_transcripts(spark, str(in_dir), max_files_per_trigger=1)
+    per_batch: list[tuple[int, int]] = []  # (n_turns, n_exact)
+    seen: set[tuple] = set()
+
+    def capture(df, epoch_id):
+        rows = df.select("conv_id", "turn_idx", "extracted_text").collect()
+        if not rows:
+            return
+        n_exact = sum(
+            expected[(r["conv_id"], r["turn_idx"])] == r["extracted_text"] for r in rows
+        )
+        per_batch.append((len(rows), n_exact))
+        seen.update((r["conv_id"], r["turn_idx"]) for r in rows)
+
+    q = (
+        extract_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(per_batch) == 3, per_batch
+    for n_turns, n_exact in per_batch:
+        assert n_turns > 0 and n_exact == n_turns  # ratio 1.0 per batch
+    assert seen == set(expected)  # union covers every turn exactly once
+    gen.unpersist()

@@ -167,3 +167,34 @@ def test_synthesize_clips_negative_coords():
     )
     assert page.shape == (90, 300)
     assert (page < 128).any()  # visible part drawn
+
+
+def test_foreign_nodes_same_line_gap_enforced():
+    """Nodes WITHOUT line_idx (a foreign engine's output) whose ymin
+    values differ slightly still cluster onto one line, so the word-gap
+    safety band applies and re-extraction keeps the words separate."""
+    s = DEFAULT_SCALE
+    # two same-line words, second one placed overlapping-close to the
+    # first AND with a 2-cell ymin jitter (sub-glyph-height): without
+    # row clustering they'd get distinct keys and draw fused
+    words = [
+        {"value": "AB", "xmin": 0.10, "ymin": 0.300},
+        {"value": "CD", "xmin": 0.16, "ymin": 0.312},  # jittered ymin
+    ]
+    page = synthesize_page(words, dims=(240, 480), scale=s)
+    text, _, n_boxes, *_ = _extract([page])
+    assert n_boxes == 2
+    assert text.replace("\n", " ") == "AB CD"
+
+
+def test_foreign_nodes_different_lines_keep_own_keys():
+    """Rows a full line pitch apart stay distinct clusters: the second
+    word keeps its own x position instead of being pushed right."""
+    words = [
+        {"value": "AB", "xmin": 0.10, "ymin": 0.10},
+        {"value": "CD", "xmin": 0.10, "ymin": 0.50},
+    ]
+    page = synthesize_page(words, dims=(240, 480), scale=DEFAULT_SCALE)
+    text, _, n_boxes, *_ = _extract([page])
+    assert n_boxes == 2
+    assert text == "AB\nCD"
