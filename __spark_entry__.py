@@ -1685,77 +1685,28 @@ FROM (VALUES
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-checked queries. ORDER MATTERS: the driver's CORRECTNESS gate
-    checks the FIRST 50 dict entries only. Round-4 rotation: positions
-    0-N hold the queries NEW this round, then ALL 35 queries whose last
-    driver row is r01/r02 (rotated out during round 3) come back into the
-    window, and the remaining slots hold the queries whose code paths are
-    touched this round (extraction pipeline, dedup shingle hashing).
-    Entries past position 49 were all driver-verified green in r03 (see
-    ROUND4.md coverage table), are unchanged this round, and remain
-    builder-checked via scripts/check_oracles.py every round."""
+    checks the FIRST 50 dict entries only. Round-5 rotation: positions
+    0-2 hold the queries NEW this round, positions 3-4 the queries whose
+    code paths changed this round (the ONNX executor/codec rewrite and
+    the hub cache-dir change), then ALL 40 queries whose newest driver
+    row is r03 (rotated past the cap during round 4 — the documented
+    2-round staleness bound) come back inside the window, and the last 5
+    slots refresh the flagship extraction queries. Entries past position
+    49 were all driver-verified green in r04, are unchanged this round,
+    and remain builder-checked via scripts/check_oracles.py every round
+    (ROUND5.md has the ledger)."""
     return {
         # --- new round-5 queries (no prior driver row)
         "orientation_zoo": _q_orientation_zoo,
         "onnx_fpn_zoo": _q_onnx_fpn_zoo,
         "archive_datasets": _q_archive_datasets,
-        # --- round-4 queries (re-slotted by the round-5 rotation below)
-        "dbnet_fpn_ocr": _q_dbnet_fpn_ocr,
-        "crnn_bilstm_ocr": _q_crnn_bilstm_ocr,
-        "kie_extract": _q_kie_extract,
+        # --- code paths touched this round (onnx_exec/onnx_proto widen;
+        # hub cache dir keyed by uid)
         "onnx_zoo": _q_onnx_zoo,
         "hub_zoo": _q_hub_zoo,
-        # --- the 35 queries last driver-verified in r01/r02 (rotated out
-        # in r03), back inside the window so no row is >2 rounds old
-        "sort_key_rank": EQ.q_sort_key_rank,
-        "resolve_lines": EQ.q_resolve_lines,
-        "conversation_docs": EQ.q_conversation_docs,
-        "hocr_export": EQ.q_hocr_export,
-        "translate_vocab": EQ.q_translate,
-        "pricing_summary": EQ.q_pricing_summary,
-        "token_stats": EQ.q_token_stats,
-        "asof_join": EQ.q_asof_join,
-        "gap_sessionize": EQ.q_gap_sessionize,
-        "render_joins": EQ.q_render_joins,
-        "split_crops": EQ.q_split_crops,
-        "kie_render": EQ.q_kie_render,
-        "kie_entities": EQ.q_kie_entities,
-        "enclosing_bbox": EQ.q_enclosing_bbox,
-        "line_render": EQ.q_line_render,
-        "turn_order": EQ.q_turn_order,
-        "topk_per_group": EQ.q_topk_per_group,
-        "hourly_event_stats": EQ.q_hourly_event_stats,
-        "rollup_events": EQ.q_rollup_events,
-        "pivot_events": EQ.q_pivot_events,
-        "cube_events": EQ.q_cube_events,
-        "revenue_by_nation": EQ.q_revenue_by_nation,
-        "subword_tokens": EQ.q_subword_tokens,
-        "deterministic_sample": EQ.q_deterministic_sample,
-        "corpus_stats": EQ.q_corpus_stats,
-        "quality_filter": EQ.q_quality_filter,
-        "quality_score": EQ.q_quality_score,
-        "lang_id": EQ.q_lang_id,
-        "lang_id_conf": EQ.q_lang_id_conf,
-        "string_match": EQ.q_string_match,
-        "fingerprint": EQ.q_fingerprint,
-        "jaccard_pairs": EQ.q_jaccard_pairs,
-        "knn_cosine": EQ.q_knn_cosine,
-        "ann_ivf": _q_ann_ivf,
-        "emb_neardup": EQ.q_emb_neardup,
-        # --- r03-green queries whose code paths are touched this round
-        # (fused extraction pipeline; dedup hashing; k-means persist) —
-        # kept in-window
-        "extract_docs": _q_extract_docs,
-        "extract_ocr": _q_extract_ocr,
-        "tiny_conv_ocr": _q_tiny_conv_ocr,
-        "skew_angle": _q_skew_angle,
-        "exact_dedup": EQ.q_exact_dedup_summary,
-        "minhash_neardup": _q_minhash_neardup,
-        "simhash": _q_simhash,
-        "kmeans_cells": _q_kmeans_cells,
-        "semantic_dedup": _q_semantic_dedup,
-        "ann_ivf_trained": _q_ann_ivf_trained,
-        # --- past position 49: green in r03, unchanged this round; still
-        # builder-checked every round (check_oracles.py)
+        # --- the 40 queries whose newest driver row is r03 (rotated out
+        # during round 4), back inside the window so no row is >2 rounds
+        # old
         "decontaminate": EQ.q_decontaminate,
         "detect_boxes": EQ.q_detect_boxes,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
@@ -1796,6 +1747,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomalies": EQ.q_anomalies,
         "pack_sequences": _q_pack_sequences,
         "ann_lsh": _q_ann_lsh,
+        # --- flagship extraction refresh (r4-green, highest-value rows)
+        "extract_docs": _q_extract_docs,
+        "extract_ocr": _q_extract_ocr,
+        "dbnet_fpn_ocr": _q_dbnet_fpn_ocr,
+        "crnn_bilstm_ocr": _q_crnn_bilstm_ocr,
+        "kie_extract": _q_kie_extract,
+        # --- past position 49: green in r04, unchanged this round; still
+        # builder-checked every round (check_oracles.py)
+        "sort_key_rank": EQ.q_sort_key_rank,
+        "resolve_lines": EQ.q_resolve_lines,
+        "conversation_docs": EQ.q_conversation_docs,
+        "hocr_export": EQ.q_hocr_export,
+        "translate_vocab": EQ.q_translate,
+        "pricing_summary": EQ.q_pricing_summary,
+        "token_stats": EQ.q_token_stats,
+        "asof_join": EQ.q_asof_join,
+        "gap_sessionize": EQ.q_gap_sessionize,
+        "render_joins": EQ.q_render_joins,
+        "split_crops": EQ.q_split_crops,
+        "kie_render": EQ.q_kie_render,
+        "kie_entities": EQ.q_kie_entities,
+        "enclosing_bbox": EQ.q_enclosing_bbox,
+        "line_render": EQ.q_line_render,
+        "turn_order": EQ.q_turn_order,
+        "topk_per_group": EQ.q_topk_per_group,
+        "hourly_event_stats": EQ.q_hourly_event_stats,
+        "rollup_events": EQ.q_rollup_events,
+        "pivot_events": EQ.q_pivot_events,
+        "cube_events": EQ.q_cube_events,
+        "revenue_by_nation": EQ.q_revenue_by_nation,
+        "subword_tokens": EQ.q_subword_tokens,
+        "deterministic_sample": EQ.q_deterministic_sample,
+        "corpus_stats": EQ.q_corpus_stats,
+        "quality_filter": EQ.q_quality_filter,
+        "quality_score": EQ.q_quality_score,
+        "lang_id": EQ.q_lang_id,
+        "lang_id_conf": EQ.q_lang_id_conf,
+        "string_match": EQ.q_string_match,
+        "fingerprint": EQ.q_fingerprint,
+        "jaccard_pairs": EQ.q_jaccard_pairs,
+        "knn_cosine": EQ.q_knn_cosine,
+        "ann_ivf": _q_ann_ivf,
+        "emb_neardup": EQ.q_emb_neardup,
+        "tiny_conv_ocr": _q_tiny_conv_ocr,
+        "skew_angle": _q_skew_angle,
+        "exact_dedup": EQ.q_exact_dedup_summary,
+        "minhash_neardup": _q_minhash_neardup,
+        "simhash": _q_simhash,
+        "kmeans_cells": _q_kmeans_cells,
+        "semantic_dedup": _q_semantic_dedup,
+        "ann_ivf_trained": _q_ann_ivf_trained,
     }
 
 
