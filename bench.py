@@ -201,6 +201,9 @@ def run_queries(spark) -> dict[str, float]:
         "kie_extract",
         "onnx_zoo",
         "hub_zoo",
+        "orientation_zoo",
+        "onnx_fpn_zoo",
+        "archive_datasets",
         "cube_events",
         "pricing_summary",
         "revenue_by_nation",
