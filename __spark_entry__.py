@@ -676,6 +676,52 @@ def _q_archive_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write(b"\xff\xd8-sroie" + bytes([i]))
         with open(os.path.join(sroie, "annotations", f"{i}.txt"), "w", encoding="latin-1") as fh:
             fh.write(sroie_ann)
+    # IC13 layout (explicit folders, the reference's non-archive ctor)
+    ic13_img = os.path.join(base, "ic13", "images")
+    ic13_gt = os.path.join(base, "ic13", "gt")
+    os.makedirs(ic13_img); os.makedirs(ic13_gt)
+    ic13_ann = (
+        "38 43 920 215 'FOUND'\n"
+        "275, 264, 665, 450 \"IT\"\n"
+        "0 699 77 1498 'HERE,'\n"
+    )
+    for i in range(2):
+        with open(os.path.join(ic13_img, f"w{i}.png"), "wb") as fh:
+            fh.write(b"ic13" + bytes([i]))
+        with open(os.path.join(ic13_gt, f"gt_w{i}.txt"), "w") as fh:
+            fh.write(ic13_ann)
+    # IC03 layout (one words.xml; a boxless image that must be filtered)
+    ic03_sub = os.path.join(base, "ic03", "SceneTrialTrain")
+    os.makedirs(os.path.join(ic03_sub, "apanar"))
+    with open(os.path.join(ic03_sub, "words.xml"), "w") as fh:
+        fh.write(
+            '<tagset><image><imageName>apanar/IMG_1.jpg</imageName>'
+            '<resolution x="640" y="480"/><taggedRectangles>'
+            '<taggedRectangle x="10" y="20" width="40" height="12"><tag>STOP</tag></taggedRectangle>'
+            '<taggedRectangle x="60" y="20" width="30" height="12"><tag>AHEAD</tag></taggedRectangle>'
+            '</taggedRectangles></image>'
+            '<image><imageName>apanar/IMG_2.jpg</imageName>'
+            '<resolution x="640" y="480"/><taggedRectangles/></image></tagset>'
+        )
+    for i in (1, 2):
+        with open(os.path.join(ic03_sub, "apanar", f"IMG_{i}.jpg"), "wb") as fh:
+            fh.write(b"ic03" + bytes([i]))
+    # WILDRECEIPT layout (one JSON-lines annotation file)
+    wild_img = os.path.join(base, "wild", "r")
+    os.makedirs(wild_img)
+    with open(os.path.join(base, "wild", "ann.txt"), "w") as fh:
+        fh.write(
+            '{"file_name": "r/0.jpeg", "annotations":'
+            ' [{"box": [10.0, 20.0, 50.0, 22.0, 48.0, 40.0, 8.0, 38.0], "text": "CAFE", "label": 1},'
+            '  {"box": [60.0, 20.0, 90.0, 20.0, 90.0, 40.0, 60.0, 40.0], "text": "9.50", "label": 17}]}\n'
+            '{"file_name": "r/1.jpeg", "annotations":'
+            ' [{"box": [5.0, 5.0, 25.0, 5.0, 25.0, 15.0, 5.0, 15.0], "text": "SUM", "label": 2}]}\n'
+        )
+    for i in range(2):
+        with open(os.path.join(wild_img, f"{i}.jpeg"), "wb") as fh:
+            fh.write(b"wild" + bytes([i]))
+    from doctr_spark.sources.archives import load_ic03, load_ic13, load_wildreceipt
+
     loads = {}
     for name, src, load in (
         ("funsd", os.path.join(base, "funsd"), lambda s, r, **k: load_funsd(s, r, train=True, **k)),
@@ -685,6 +731,19 @@ def _q_archive_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
         zp = _shutil.make_archive(os.path.join(tmp, name), "zip", src)
         root = extract_archive(zp, os.path.join(tmp, f"x_{name}"))
         loads[name] = (load(spark, root), load(spark, root, use_polygons=True))
+    loads["ic13"] = (
+        load_ic13(spark, ic13_img, ic13_gt),
+        load_ic13(spark, ic13_img, ic13_gt, use_polygons=True),
+    )
+    loads["ic03"] = (
+        load_ic03(spark, os.path.join(base, "ic03"), train=True),
+        load_ic03(spark, os.path.join(base, "ic03"), train=True, use_polygons=True),
+    )
+    wr_ann = os.path.join(base, "wild", "ann.txt")
+    loads["wildreceipt"] = (
+        load_wildreceipt(spark, wild_img, wr_ann),
+        load_wildreceipt(spark, wild_img, wr_ann, use_polygons=True),
+    )
     frames = []
     coord_sum = F.expr("aggregate(flatten(geoms), cast(0 as double), (a, x) -> a + x)")
     for name, (straight, poly) in loads.items():
@@ -707,10 +766,14 @@ def _q_archive_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ARCHIVE_DATASETS_ORACLE = """
--- hand-computed from the mock-archive fixtures (2 images per dataset):
+-- hand-computed from the mock-archive fixtures (2 images per dataset,
+-- except IC03 where the boxless image must be filtered):
 -- FUNSD 3 non-empty words/img, straight sum 630/img, corner sum 1260/img;
 -- CORD 2 words/img (empty dropped), min/max 938/img, quad corners 1876/img;
--- SROIE 3 rows/img incl. a comma-containing label, 945/img, corners 1890/img
+-- SROIE 3 rows/img incl. a comma-containing label, 945/img, corners 1890/img;
+-- IC13 3 rows/img (trailing-comma strip + label dequote), 5144/img;
+-- IC03 1 image kept of 2 (words.xml), x/y/width/height -> 314;
+-- WILDRECEIPT jsonl, min/max over 8 coords -> 328+50, corners 756
 SELECT dataset, CAST(n_images AS BIGINT) AS n_images,
        CAST(n_words AS BIGINT) AS n_words,
        CAST(coord_sum AS BIGINT) AS coord_sum,
@@ -718,7 +781,10 @@ SELECT dataset, CAST(n_images AS BIGINT) AS n_images,
 FROM (VALUES
   ('funsd', 2, 6, 1260, 2520),
   ('cord', 2, 4, 1876, 3752),
-  ('sroie', 2, 6, 1890, 3780)
+  ('sroie', 2, 6, 1890, 3780),
+  ('ic13', 2, 6, 10288, 20576),
+  ('ic03', 1, 2, 314, 628),
+  ('wildreceipt', 2, 3, 378, 756)
 ) AS v(dataset, n_images, n_words, coord_sum, poly_coord_sum)
 """
 

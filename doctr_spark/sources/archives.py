@@ -21,6 +21,18 @@ Per-image annotation formats follow the reference loaders exactly:
   may itself contain commas — rejoined with ``",".join(row[8:])``,
   sroie.py:92); ``use_polygons`` keeps the (4,2) corners else reduces to
   per-axis min/max (sroie.py:97-100).
+- IC13 (reference datasets/ic13.py:20-100): per-image
+  ``gt_<stem>.txt`` — space-delimited CSV with ``'`` quotechar, values
+  may carry trailing commas; 4 box ints then the quoted label
+  (ic13.py:77-85).
+- IC03 (reference datasets/ic03.py:20-131): ONE ``words.xml`` for the
+  whole set — per-image ``<taggedRectangle x y width height>`` elements
+  with ``<tag>`` children as labels; images without boxes are filtered
+  (ic03.py:117-120).
+- WILDRECEIPT (reference datasets/wildreceipt.py:21-120): one JSON-lines
+  file — each line ``{"file_name", "annotations": [{"box": 8 coords,
+  "text"}]}``; min/max reduction over the 8 coords else the 4 corners
+  (wildreceipt.py:91-105).
 
 Spark shape — identical to sources/datasets.py: the archive extracts
 once on the driver (the reference's VisionDataset download+extract step,
@@ -135,6 +147,73 @@ def parse_sroie_annotation(
     return geoms, labels
 
 
+def parse_ic13_annotation(
+    text: str, use_polygons: bool = False
+) -> tuple[list[list[float]], list[str]]:
+    """IC13 gt file -> (geoms, labels): space-delimited, ``'`` quotechar,
+    per-value trailing commas stripped, label dequoted (ic13.py:77-85)."""
+    rows = [
+        [v[:-1] if v.endswith(",") else v for v in row]
+        for row in csv.reader(io.StringIO(text), delimiter=" ", quotechar="'")
+        if row
+    ]
+    geoms: list[list[float]] = []
+    labels: list[str] = []
+    for row in rows:
+        b = [float(int(v)) for v in row[:4]]  # xmin, ymin, xmax, ymax
+        if use_polygons:
+            geoms.append([b[0], b[1], b[2], b[1], b[2], b[3], b[0], b[3]])
+        else:
+            geoms.append(b)
+        labels.append(row[-1].replace('"', ""))
+    return geoms, labels
+
+
+def parse_ic03_words_xml(
+    xml_text: str, use_polygons: bool = False
+) -> dict[str, tuple[list[list[float]], list[str]]]:
+    """IC03 words.xml -> {img_name: (geoms, labels)}: taggedRectangle
+    x/y/width/height attributes, tag-child labels, box-less images
+    filtered (ic03.py:83-120)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    out: dict[str, tuple[list[list[float]], list[str]]] = {}
+    for image in root:
+        name, _resolution, rectangles = image
+        geoms: list[list[float]] = []
+        for rect in rectangles:
+            x, y = float(rect.attrib["x"]), float(rect.attrib["y"])
+            w, h = float(rect.attrib["width"]), float(rect.attrib["height"])
+            if use_polygons:
+                geoms.append([x, y, x + w, y, x + w, y + h, x, y + h])
+            else:
+                geoms.append([x, y, x + w, y + h])
+        labels = [lab.text for rect in rectangles for lab in rect if lab.text]
+        if geoms:  # filter images without boxes (ic03.py:117)
+            out[name.text] = (geoms, labels)
+    return out
+
+
+def parse_wildreceipt_line(
+    json_line: dict, use_polygons: bool = False
+) -> tuple[list[list[float]], list[str]]:
+    """One WILDRECEIPT JSON-lines record's annotations -> (geoms, labels):
+    8 flat coords per box, min/max reduction else the 4 corners in file
+    order (wildreceipt.py:91-105)."""
+    geoms: list[list[float]] = []
+    labels: list[str] = []
+    for ann in json_line["annotations"]:
+        c = [float(v) for v in ann["box"]]
+        if use_polygons:
+            geoms.append(c[:8])
+        else:
+            xs, ys = c[::2], c[1::2]
+            geoms.append([min(xs), min(ys), max(xs), max(ys)])
+        labels.append(ann["text"])
+    return geoms, labels
+
+
 # ------------------------------------------------------------------ loaders
 
 
@@ -202,3 +281,61 @@ def load_sroie(
         spark, os.path.join(root, "images"), os.path.join(root, "annotations"),
         ".txt", parse_sroie_annotation, use_polygons, encoding="latin-1",
     )
+
+
+def load_ic13(
+    spark: SparkSession, img_folder: str, label_folder: str, use_polygons: bool = False
+) -> DataFrame:
+    """IC13 takes explicit image/label folders (the reference's only
+    non-archive constructor, ic13.py:36-44): per-image ``gt_<stem>.txt``."""
+    if not os.path.isdir(img_folder) or not os.path.isdir(label_folder):
+        missing = img_folder if not os.path.isdir(img_folder) else label_folder
+        raise FileNotFoundError(f"unable to locate {missing}")
+    parsed = {}
+    for img_name in sorted(os.listdir(img_folder)):
+        stem = os.path.splitext(img_name)[0]
+        gt = os.path.join(label_folder, f"gt_{stem}.txt")
+        if not os.path.exists(gt):
+            raise FileNotFoundError(f"unable to locate {gt}")
+        with open(gt, newline="\n") as fh:
+            parsed[img_name] = parse_ic13_annotation(fh.read(), use_polygons)
+    imgs = _images_df(spark, img_folder, list(parsed))
+    return _attach_broadcast_columns(spark, imgs, parsed, ["geoms", "labels"], GEOM_SCHEMA)
+
+
+def load_ic03(
+    spark: SparkSession, root: str, train: bool = True, use_polygons: bool = False
+) -> DataFrame:
+    """IC03 extracted-archive root: one words.xml for the whole subset
+    (SceneTrialTrain/SceneTrialTest, ic03.py:77-81); image paths in the
+    XML are relative to that folder."""
+    sub = os.path.join(root, "SceneTrialTrain" if train else "SceneTrialTest")
+    xml_path = os.path.join(sub, "words.xml")
+    if not os.path.exists(xml_path):
+        raise FileNotFoundError(f"unable to locate {xml_path}")
+    with open(xml_path) as fh:
+        parsed = parse_ic03_words_xml(fh.read(), use_polygons)
+    imgs = _images_df(spark, sub, list(parsed))
+    # XML image names may carry subdirs — binaryFile keeps only the
+    # basename; re-key the broadcast map the same way
+    parsed = {os.path.basename(k): v for k, v in parsed.items()}
+    return _attach_broadcast_columns(spark, imgs, parsed, ["geoms", "labels"], GEOM_SCHEMA)
+
+
+def load_wildreceipt(
+    spark: SparkSession, img_folder: str, label_path: str, use_polygons: bool = False
+) -> DataFrame:
+    """WILDRECEIPT: one JSON-lines annotation file; each record names its
+    image via file_name (wildreceipt.py:78-90)."""
+    if not os.path.exists(label_path) or not os.path.isdir(img_folder):
+        missing = label_path if not os.path.exists(label_path) else img_folder
+        raise FileNotFoundError(f"unable to locate {missing}")
+    parsed = {}
+    with open(label_path) as fh:
+        for line in fh.read().strip().split("\n"):
+            rec = json.loads(line)
+            parsed[os.path.basename(rec["file_name"])] = parse_wildreceipt_line(
+                rec, use_polygons
+            )
+    imgs = _images_df(spark, img_folder, list(parsed))
+    return _attach_broadcast_columns(spark, imgs, parsed, ["geoms", "labels"], GEOM_SCHEMA)

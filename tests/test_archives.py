@@ -168,3 +168,117 @@ def test_archive_loader_plan_has_no_exchange(spark, tmp_path):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     assert "Exchange" not in plan
+
+
+# --------------------------------------------- IC13 / IC03 / WILDRECEIPT
+
+IC13_GT = (
+    "38 43 920 215 'FOUND'\n"
+    "275, 264, 665, 450 \"IT\"\n"
+    "0 699 77 1498 'HERE,'\n"
+)
+
+IC03_XML = """<tagset>
+  <image>
+    <imageName>apanar/IMG_1.jpg</imageName>
+    <resolution x="640" y="480"/>
+    <taggedRectangles>
+      <taggedRectangle x="10" y="20" width="40" height="12" offset="0" rotation="0">
+        <tag>STOP</tag>
+      </taggedRectangle>
+      <taggedRectangle x="60" y="20" width="30" height="12" offset="0" rotation="0">
+        <tag>AHEAD</tag>
+      </taggedRectangle>
+    </taggedRectangles>
+  </image>
+  <image>
+    <imageName>apanar/IMG_2.jpg</imageName>
+    <resolution x="640" y="480"/>
+    <taggedRectangles/>
+  </image>
+</tagset>"""
+
+WILDRECEIPT_JSONL = (
+    '{"file_name": "r/0.jpeg", "height": 80, "width": 60, "annotations":'
+    ' [{"box": [10.0, 20.0, 50.0, 22.0, 48.0, 40.0, 8.0, 38.0], "text": "CAFE", "label": 1},'
+    '  {"box": [60.0, 20.0, 90.0, 20.0, 90.0, 40.0, 60.0, 40.0], "text": "9.50", "label": 17}]}\n'
+    '{"file_name": "r/1.jpeg", "height": 80, "width": 60, "annotations":'
+    ' [{"box": [5.0, 5.0, 25.0, 5.0, 25.0, 15.0, 5.0, 15.0], "text": "SUM", "label": 2}]}\n'
+)
+
+from doctr_spark.sources.archives import (  # noqa: E402
+    load_ic03,
+    load_ic13,
+    load_wildreceipt,
+    parse_ic03_words_xml,
+    parse_ic13_annotation,
+    parse_wildreceipt_line,
+)
+
+
+def test_ic13_parse_quotes_and_trailing_commas():
+    geoms, labels = parse_ic13_annotation(IC13_GT)
+    # trailing commas stripped per value, labels dequoted — reference
+    # parity quirk included: the strip applies to the LABEL too, so a
+    # quoted 'HERE,' loses its comma exactly as ic13.py:77-79 does
+    assert labels == ["FOUND", "IT", "HERE"]
+    assert geoms[1] == [275.0, 264.0, 665.0, 450.0]
+    pg, _ = parse_ic13_annotation(IC13_GT, use_polygons=True)
+    assert pg[0] == [38.0, 43.0, 920.0, 43.0, 920.0, 215.0, 38.0, 215.0]
+
+
+def test_ic03_parse_xml_filters_boxless_images():
+    parsed = parse_ic03_words_xml(IC03_XML)
+    assert list(parsed) == ["apanar/IMG_1.jpg"]  # IMG_2 has no boxes
+    geoms, labels = parsed["apanar/IMG_1.jpg"]
+    assert labels == ["STOP", "AHEAD"]
+    assert geoms[0] == [10.0, 20.0, 50.0, 32.0]  # x, y, x+w, y+h
+    pp = parse_ic03_words_xml(IC03_XML, use_polygons=True)
+    assert pp["apanar/IMG_1.jpg"][0][1] == [60.0, 20.0, 90.0, 20.0, 90.0, 32.0, 60.0, 32.0]
+
+
+def test_wildreceipt_parse_minmax_over_8_coords():
+    import json as _json
+
+    rec = _json.loads(WILDRECEIPT_JSONL.splitlines()[0])
+    geoms, labels = parse_wildreceipt_line(rec)
+    assert labels == ["CAFE", "9.50"]
+    assert geoms[0] == [8.0, 20.0, 50.0, 40.0]  # min/max over skewed quad
+    pg, _ = parse_wildreceipt_line(rec, use_polygons=True)
+    assert pg[0] == [10.0, 20.0, 50.0, 22.0, 48.0, 40.0, 8.0, 38.0]
+
+
+def test_ic13_ic03_wildreceipt_loaders_end_to_end(spark, tmp_path):
+    # IC13: explicit folders
+    imgs = tmp_path / "ic13_img"
+    gts = tmp_path / "ic13_gt"
+    imgs.mkdir(), gts.mkdir()
+    for i in range(2):
+        (imgs / f"w{i}.png").write_bytes(b"ic13" + bytes([i]))
+        (gts / f"gt_w{i}.txt").write_text(IC13_GT)
+    df = load_ic13(spark, str(imgs), str(gts))
+    r = {x["img_name"]: x for x in df.collect()}["w0.png"]
+    assert r["labels"] == ["FOUND", "IT", "HERE"]
+
+    # IC03: subset folder + words.xml with subdir image names
+    sub = tmp_path / "ic03" / "SceneTrialTrain"
+    (sub / "apanar").mkdir(parents=True)
+    (sub / "words.xml").write_text(IC03_XML)
+    for i in (1, 2):
+        (sub / "apanar" / f"IMG_{i}.jpg").write_bytes(b"ic03" + bytes([i]))
+    df = load_ic03(spark, str(tmp_path / "ic03"), train=True)
+    rows = df.collect()
+    assert len(rows) == 1  # the boxless image is filtered
+    assert rows[0]["img_name"] == "IMG_1.jpg"
+    assert rows[0]["labels"] == ["STOP", "AHEAD"]
+
+    # WILDRECEIPT: jsonl + image folder
+    wr = tmp_path / "wild"
+    (wr / "r").mkdir(parents=True)
+    (wr / "ann.txt").write_text(WILDRECEIPT_JSONL)
+    for i in range(2):
+        (wr / "r" / f"{i}.jpeg").write_bytes(b"wild" + bytes([i]))
+    df = load_wildreceipt(spark, str(wr / "r"), str(wr / "ann.txt"))
+    r = {x["img_name"]: x for x in df.collect()}["0.jpeg"]
+    assert r["labels"] == ["CAFE", "9.50"]
+    assert r["geoms"][0] == [8.0, 20.0, 50.0, 40.0]
