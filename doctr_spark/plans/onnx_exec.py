@@ -69,10 +69,34 @@ def _conv2d(
 ) -> np.ndarray:
     pads = attrs.get("pads", [0, 0, 0, 0])
     sh, sw = attrs.get("strides", [1, 1])
-    if attrs.get("group", 1) != 1 or attrs.get("dilations", [1, 1]) != [1, 1]:
-        raise NotImplementedError("NumpySession Conv supports group=1, dilation=1")
+    groups = attrs.get("group", 1)
+    if attrs.get("dilations", [1, 1]) != [1, 1]:
+        raise NotImplementedError("NumpySession Conv supports dilation=1")
     n, c, h, wd = x.shape
     m, c2, kh, kw = w.shape
+    if groups > 1:
+        # grouped / depthwise conv (what a MobileNet-style export emits):
+        # split input channels and output kernels into `groups` slices,
+        # run each as an independent group=1 conv, concat on channel axis
+        if c % groups or m % groups or c2 != c // groups:
+            raise ValueError(
+                f"Conv group mismatch: C={c}, M={m}, kernel C'={c2}, groups={groups}"
+            )
+        g_attrs = dict(attrs, group=1)
+        cs, ms = c // groups, m // groups
+        parts = [
+            _conv2d(
+                x[:, g * cs : (g + 1) * cs],
+                w[g * ms : (g + 1) * ms],
+                b[g * ms : (g + 1) * ms] if b is not None else None,
+                # fresh cache per call: the kernel SLICES are temporaries,
+                # and the spectra cache keys on id() — a recycled id from
+                # a freed temp would alias a wrong spectrum
+                g_attrs, {},
+            )
+            for g in range(groups)
+        ]
+        return np.concatenate(parts, axis=1)
     if c != c2:
         raise ValueError(f"Conv channel mismatch: input {c}, kernel {c2}")
     xp = np.pad(

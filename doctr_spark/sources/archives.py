@@ -308,7 +308,9 @@ def load_ic03(
 ) -> DataFrame:
     """IC03 extracted-archive root: one words.xml for the whole subset
     (SceneTrialTrain/SceneTrialTest, ic03.py:77-81); image paths in the
-    XML are relative to that folder."""
+    XML are relative to that folder. Note: binaryFile surfaces basenames,
+    so the broadcast map is re-keyed by basename — IC03's archives keep
+    basenames unique across subdirs (apanar_*/IMG_NNNN numbering)."""
     sub = os.path.join(root, "SceneTrialTrain" if train else "SceneTrialTest")
     xml_path = os.path.join(sub, "words.xml")
     if not os.path.exists(xml_path):

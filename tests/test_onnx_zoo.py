@@ -324,3 +324,34 @@ def test_fpn_ablation_each_branch_load_bearing():
     det = _fpn_detector_from(build_fpn_detector_onnx(topdown=False))
     text, *_ = extract_pages_ocr([img], 3, detector=det)
     assert text != want
+
+
+def test_conv_grouped_depthwise_semantics():
+    """group=C depthwise Conv (the MobileNet-export shape): each channel
+    convolves with its own kernel only."""
+    x = np.stack(
+        [np.arange(16, dtype=np.float32).reshape(4, 4),
+         np.arange(16, 32, dtype=np.float32).reshape(4, 4)]
+    )[None]  # (1, 2, 4, 4)
+    k = np.zeros((2, 1, 1, 1), np.float32)
+    k[0, 0, 0, 0], k[1, 0, 0, 0] = 2.0, -1.0
+    out = _exec_single(
+        [encode_node("Conv", ["x", "k"], ["y"], pads=[0, 0, 0, 0], group=2)],
+        {"k": k}, x, (1, 2, 4, 4),
+    )
+    np.testing.assert_array_equal(out[0, 0], 2.0 * x[0, 0])
+    np.testing.assert_array_equal(out[0, 1], -1.0 * x[0, 1])
+
+
+def test_resize_scales_input_path():
+    """Resize driven by the float `scales` input (torch scale_factor
+    export) instead of int64 sizes."""
+    small = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32).reshape(1, 1, 2, 2)
+    out = _exec_single(
+        [encode_node("Resize", ["x", "", "sc"], ["y"], mode="nearest",
+                     coordinate_transformation_mode="asymmetric", nearest_mode="floor")],
+        {"sc": np.array([1.0, 1.0, 2.0, 2.0], np.float32)}, small, (1, 1, 2, 2),
+    )
+    np.testing.assert_array_equal(
+        out[0, 0], np.kron(small[0, 0], np.ones((2, 2), np.float32))
+    )
