@@ -271,14 +271,17 @@ def scaling_run(corpus_dir: str, cores: int, repeat: int | None = None) -> float
         spark.stop()
 
 
-def distinct_scaling_pair(lo: int, hi: int, n_convs: int = 24_000, rounds: int = 3) -> dict:
+def distinct_scaling_pair(lo: int, hi: int, n_convs: int = 48_000, rounds: int = 3) -> dict:
     """Scaling pair on DISTINCT pages (no repeat materialization): the
     repeat protocol adds a constant per-row parquet re-decompression cost
     to both legs, which flattens per-core rates and biases the ratio
     toward 1.0 (BENCH.md round-4 decomposition). This pair reads the
     undiluted extraction on unique data — shorter legs, so it reports the
     median of interleaved paired rounds and is CORROBORATIVE alongside
-    the long-leg criterion, not a replacement."""
+    the long-leg criterion, not a replacement. n_convs sized so the
+    high-core leg still runs ~10 s (the r5 run's 24k-conv legs were ~5 s
+    at 32 cores and sampled co-tenant noise: 0.705 vs 0.92 for the same
+    code a day apart)."""
     import statistics
 
     from doctr_spark.plans.pipeline import extract_turns
