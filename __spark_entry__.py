@@ -1096,9 +1096,16 @@ def _q_orientation_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract itself, distributed — for each applied rotation k the
     predicted uprighting turn inverts it, and the predicted class value
     lands in the reference cfg layout [0, -90, 180, 90]
-    (mobilenet/pytorch.py:61)."""
+    (mobilenet/pytorch.py:61). A third variant (c) runs the SAME
+    classifier from its serialized .onnx form (Conv/Relu/
+    GlobalAveragePool/Flatten/Gemm/Softmax — the torch.onnx
+    classifier-export op sequence) through the bundled numpy executor:
+    the classification family's from-checkpoint load path executed."""
     from doctr_spark.plans.pipeline import extract_turns
-    from doctr_spark.plans.tiny_orient import tiny_orient_classifier
+    from doctr_spark.plans.tiny_orient import (
+        onnx_orient_classifier,
+        tiny_orient_classifier,
+    )
     from doctr_spark.sources.corpus import make_transcripts
 
     gen = make_transcripts(
@@ -1106,15 +1113,23 @@ def _q_orientation_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inp = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     exp = gen.select("conv_id", "turn_idx", "expected_text")
-    m = extract_turns(
-        inp, detect_orientation=True, orienter=tiny_orient_classifier()
-    ).join(exp, ["conv_id", "turn_idx"])
-    extract_row = m.agg(
-        F.count("*").alias("n_turns"),
-        F.sum((F.col("extracted_text") == F.col("expected_text")).cast("long")).alias(
-            "n_exact"
-        ),
-    ).select(F.lit("extract_rotated").alias("variant"), "n_turns", "n_exact")
+    frames = []
+    for variant, orienter in (
+        ("extract_rotated", tiny_orient_classifier()),
+        ("extract_rotated_onnx", onnx_orient_classifier()),
+    ):
+        m = extract_turns(
+            inp, detect_orientation=True, orienter=orienter
+        ).join(exp, ["conv_id", "turn_idx"])
+        frames.append(
+            m.agg(
+                F.count("*").alias("n_turns"),
+                F.sum(
+                    (F.col("extracted_text") == F.col("expected_text")).cast("long")
+                ).alias("n_exact"),
+            ).select(F.lit(variant).alias("variant"), "n_turns", "n_exact")
+        )
+    extract_row = frames[0].unionByName(frames[1])
 
     def cls(batches):
         import numpy as np
@@ -1153,6 +1168,7 @@ SELECT variant, CAST(n_turns AS BIGINT) AS n_turns,
        CAST(n_exact AS BIGINT) AS n_exact
 FROM (VALUES
   ('extract_rotated', 41, 41),
+  ('extract_rotated_onnx', 41, 41),
   ('classify_k0', 1, 1),
   ('classify_k1', 1, 1),
   ('classify_k2', 1, 1),

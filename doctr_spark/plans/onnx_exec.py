@@ -29,6 +29,16 @@ Resize, ``+`` merges -> Add, torch.cat -> Concat):
   Add        — elementwise with numpy broadcasting
   Concat     — attr: axis
   Sigmoid    — elementwise logistic
+
+and for a classifier head (what torch.onnx emits for conv-classifier
+models like the reference's MobileNetV3 orientation nets —
+AdaptiveAvgPool2d -> GlobalAveragePool, Linear -> Gemm transB=1):
+
+  GlobalAveragePool — spatial mean, keepdims
+  Flatten    — attr: axis (default 1)
+  Gemm       — attrs: alpha, beta, transA, transB; Y = aA'B' + bC
+  Softmax    — attr: axis (default -1)
+
   Sub        — elementwise with numpy broadcasting
   ReduceMax  — attrs: axes (ints, negatives allowed), keepdims (default 1)
   Transpose  — attr: perm (ints)
@@ -47,6 +57,7 @@ from .onnx_proto import decode_model
 _SUPPORTED = {
     "Conv", "Sigmoid", "Sub", "ReduceMax", "Transpose",
     "Add", "Relu", "MaxPool", "Concat", "Resize", "BatchNormalization",
+    "GlobalAveragePool", "Flatten", "Gemm", "Softmax",
 }
 _FFT_CACHE_MAX = 8  # kernel spectra per session; FIFO eviction (see Conv)
 
@@ -259,6 +270,32 @@ class NumpySession:
                 out = np.concatenate(
                     [i.astype(np.float64) for i in ins], axis=node["attrs"]["axis"]
                 )
+            elif op == "GlobalAveragePool":
+                out = ins[0].astype(np.float64).mean(
+                    axis=tuple(range(2, ins[0].ndim)), keepdims=True
+                )
+            elif op == "Flatten":
+                ax = node["attrs"].get("axis", 1)
+                shape = ins[0].shape
+                out = np.asarray(ins[0]).reshape(
+                    int(np.prod(shape[:ax], initial=1)), -1
+                )
+            elif op == "Gemm":
+                a = node["attrs"]
+                A = ins[0].astype(np.float64)
+                B = ins[1].astype(np.float64)
+                if a.get("transA", 0):
+                    A = A.T
+                if a.get("transB", 0):
+                    B = B.T
+                out = a.get("alpha", 1.0) * (A @ B)
+                if len(ins) > 2 and ins[2] is not None:
+                    out = out + a.get("beta", 1.0) * ins[2].astype(np.float64)
+            elif op == "Softmax":
+                ax = node["attrs"].get("axis", -1)
+                z = ins[0].astype(np.float64)
+                e = np.exp(z - z.max(axis=ax, keepdims=True))
+                out = e / e.sum(axis=ax, keepdims=True)
             elif op == "ReduceMax":
                 out = _reduce_max(ins[0], node["attrs"])
             elif op == "Transpose":

@@ -240,11 +240,74 @@ def build_fpn_detector_onnx(
     )
 
 
+ONNX_ORIENT_PATH = os.path.join(MODELS_DIR, "tiny_mbv3_orient_v1.onnx")
+
+
+def build_orient_classifier_onnx() -> bytes:
+    """Serialize the tiny orientation classifier (plans/tiny_orient.py,
+    committed npz weights) as the graph torch.onnx emits for a
+    conv-classifier like the reference's MobileNetV3 orientation nets
+    (classification/mobilenet, AdaptiveAvgPool2d -> GlobalAveragePool,
+    Linear -> Gemm transB=1, final Softmax):
+
+        input (1,1,Hc,Wc) cell mask
+          -> Conv(4N x 1 x 7 x 7, per-kernel bias) -> Relu    # match fires
+          -> GlobalAveragePool -> Flatten                     # (1, 4N)
+          -> Gemm(transB=1, W 4 x 4N, b) -> Softmax           # class probs
+
+    The 4N kernels are the N bank templates at each of the 4 rotations,
+    zero-padded into a uniform 7x7 footprint (zero weights contribute
+    nothing to the matched-filter score, so the exact-match gate is
+    unchanged); the Gemm weight expands the npz's learned 4x4 permutation
+    head across each rotation group. argmax(probs) is the uprighting
+    quarter-turn count — numerically the same decision as the numpy
+    forward (equivalence tested across pages and rotations)."""
+    from .tiny_conv import _load_weights
+    from .tiny_orient import ORIENT_WEIGHTS_PATH
+
+    w = _load_weights(ORIENT_WEIGHTS_PATH)
+    bank = w["bank_kernels"].astype(np.float32)  # (N, 7, 5) of +-1
+    bias = w["bank_bias"].astype(np.float32)  # (N,)
+    head_w = w["head_w"].astype(np.float32)  # (4, 4) gained permutation
+    head_b = w["head_b"].astype(np.float32)
+    n = bank.shape[0]
+    conv_w = np.zeros((4 * n, 1, 7, 7), dtype=np.float32)
+    conv_b = np.zeros(4 * n, dtype=np.float32)
+    for j in range(4):
+        for i in range(n):
+            rot = np.rot90(bank[i], j)
+            conv_w[j * n + i, 0, : rot.shape[0], : rot.shape[1]] = rot
+            conv_b[j * n + i] = bias[i]
+    gemm_w = np.zeros((4, 4 * n), dtype=np.float32)
+    for k in range(4):
+        for j in range(4):
+            gemm_w[k, j * n : (j + 1) * n] = head_w[k, j]
+    nodes = [
+        encode_node("Conv", ["input", "conv_w", "conv_b"], ["fires_pre"], pads=[0, 0, 0, 0]),
+        encode_node("Relu", ["fires_pre"], ["fires"]),
+        encode_node("GlobalAveragePool", ["fires"], ["pooled"]),
+        encode_node("Flatten", ["pooled"], ["feat"], axis=1),
+        encode_node("Gemm", ["feat", "gemm_w", "gemm_b"], ["logits"], transB=1),
+        encode_node("Softmax", ["logits"], ["probs"], axis=-1),
+    ]
+    inits = {
+        "conv_w": conv_w,
+        "conv_b": conv_b,
+        "gemm_w": gemm_w,
+        "gemm_b": head_b,
+    }
+    return encode_model(
+        "tiny-mbv3-orient", nodes, inits,
+        inputs={"input": [1, 1, "H", "W"]}, outputs={"probs": [1, 4]},
+    )
+
+
 def write_onnx_models() -> None:
     for path, build in (
         (ONNX_DET_PATH, build_detector_onnx),
         (ONNX_RECO_PATH, build_recognizer_onnx),
         (ONNX_FPN_PATH, build_fpn_detector_onnx),
+        (ONNX_ORIENT_PATH, build_orient_classifier_onnx),
     ):
         blob = build()
         with open(path, "wb") as fh:

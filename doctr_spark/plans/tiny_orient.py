@@ -241,3 +241,34 @@ def tiny_orient_classifier(weights_path: str | None = None) -> ModelLoader:
         return TinyOrientClassifier(_load_weights(path))
 
     return key, load
+
+
+def onnx_orient_classifier(model_path: str | None = None) -> ModelLoader:
+    """Seam loader for the SERIALIZED-checkpoint form: the same classifier
+    exported as a classification-shaped .onnx graph (Conv -> Relu ->
+    GlobalAveragePool -> Flatten -> Gemm -> Softmax, the ops torch.onnx
+    emits for the reference's MobileNetV3 orientation nets) and executed
+    via onnxruntime or the bundled numpy executor. The loader plays the
+    PreProcessor role: the lossless cell-space mask (grid-phase recovery
+    included) is the fixed input resolution the graph consumes."""
+    from .onnx_export import ONNX_ORIENT_PATH
+
+    path = model_path or ONNX_ORIENT_PATH
+    key = f"onnx-orient:{path}"
+
+    def load():
+        from .models import _onnx_session
+
+        sess = _onnx_session(path)
+
+        def orient(page: np.ndarray, scale: int) -> int:
+            cells = page_cells(page, scale)
+            if cells is None:
+                return 0
+            x = cells.astype(np.float32)[None, None]
+            probs = np.asarray(sess.run(None, {"input": x})[0]).reshape(4)
+            return int(np.argmax(probs))
+
+        return orient
+
+    return key, load

@@ -152,3 +152,70 @@ def test_pipeline_seam_rotated_bundles_exact(spark):
     assert n > 0
     assert j.filter(F.col("extracted_text") != F.col("expected_text")).count() == 0
     gen.unpersist()
+
+
+# ------------------------------------------------ serialized .onnx form
+
+
+def test_committed_orient_onnx_matches_builder_and_op_set():
+    from doctr_spark.plans.onnx_export import (
+        ONNX_ORIENT_PATH,
+        build_orient_classifier_onnx,
+    )
+    from doctr_spark.plans.onnx_proto import decode_model
+
+    with open(ONNX_ORIENT_PATH, "rb") as fh:
+        blob = fh.read()
+    assert blob == build_orient_classifier_onnx()
+    m = decode_model(blob)
+    # the classifier-export op sequence (AdaptiveAvgPool2d ->
+    # GlobalAveragePool, Linear -> Gemm transB=1, per torch.onnx)
+    assert [n["op_type"] for n in m["nodes"]] == [
+        "Conv", "Relu", "GlobalAveragePool", "Flatten", "Gemm", "Softmax",
+    ]
+    assert m["nodes"][4]["attrs"]["transB"] == 1
+    n_bank = len(_load()["bank_chars"])
+    assert m["initializers"]["conv_w"].shape == (4 * n_bank, 1, 7, 7)
+    assert m["initializers"]["gemm_w"].shape == (4, 4 * n_bank)
+
+
+def test_onnx_orient_decision_equivalent_to_numpy_forward():
+    """The serialized graph and the npz forward make the SAME decision on
+    every page and rotation (the zero-padded 7x7 kernels keep the
+    exact-match gate; the Gemm expands the learned permutation head)."""
+    from doctr_spark.plans.models import resolve_model
+    from doctr_spark.plans.tiny_orient import onnx_orient_classifier
+
+    onx = resolve_model(*onnx_orient_classifier())
+    ref = TinyOrientClassifier(_load())
+    for words in PAGES:
+        img, _ = render_page(words, scale=3)
+        for j in range(4):
+            rot = np.ascontiguousarray(np.rot90(img, j))
+            assert onx(rot, 3) == ref(rot, 3)
+            assert (j + onx(rot, 3)) % 4 == 0
+    blank = np.full((60, 60), 255, dtype=np.uint8)
+    assert onx(blank, 3) == 0
+
+
+def test_onnx_orient_through_pipeline_seam(spark):
+    """extract_turns with the .onnx-backed orienter: per-turn equality on
+    a fully-rotated corpus — the classification family's serialized-
+    checkpoint load path executed end-to-end."""
+    from pyspark.sql import functions as F
+
+    from doctr_spark.plans.pipeline import extract_turns
+    from doctr_spark.plans.tiny_orient import onnx_orient_classifier
+    from doctr_spark.sources.corpus import make_transcripts
+
+    gen = make_transcripts(
+        spark, 2, partitions=2, ocr_ratio=1.0, html_ratio=0.0, rot_ratio=1.0
+    ).cache()
+    inp = gen.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    out = extract_turns(
+        inp, detect_orientation=True, orienter=onnx_orient_classifier()
+    )
+    j = out.join(gen.select("conv_id", "turn_idx", "expected_text"), ["conv_id", "turn_idx"])
+    assert j.count() > 0
+    assert j.filter(F.col("extracted_text") != F.col("expected_text")).count() == 0
+    gen.unpersist()
