@@ -720,7 +720,58 @@ def _q_archive_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(2):
         with open(os.path.join(wild_img, f"{i}.jpeg"), "wb") as fh:
             fh.write(b"wild" + bytes([i]))
-    from doctr_spark.sources.archives import load_ic03, load_ic13, load_wildreceipt
+    # SVT layout (svt1/train.xml over relative image paths)
+    svt_sub = os.path.join(base, "svt", "svt1")
+    os.makedirs(os.path.join(svt_sub, "img"))
+    with open(os.path.join(svt_sub, "train.xml"), "w") as fh:
+        fh.write(
+            '<tagset><image><imageName>img/14_03.jpg</imageName>'
+            '<address>341 Example Street</address><lex>STOP,AHEAD</lex>'
+            '<Resolution x="640" y="480"/><taggedRectangles>'
+            '<taggedRectangle height="12" width="40" x="10" y="20"><tag>STOP</tag></taggedRectangle>'
+            '<taggedRectangle height="12" width="30" x="60" y="20"><tag>AHEAD</tag></taggedRectangle>'
+            '</taggedRectangles></image>'
+            '<image><imageName>img/14_04.jpg</imageName>'
+            '<address>342 Example Street</address><lex>WEST</lex>'
+            '<Resolution x="640" y="480"/><taggedRectangles>'
+            '<taggedRectangle height="10" width="20" x="5" y="5"><tag>WEST</tag></taggedRectangle>'
+            '</taggedRectangles></image></tagset>'
+        )
+    for n in ("14_03", "14_04"):
+        with open(os.path.join(svt_sub, "img", f"{n}.jpg"), "wb") as fh:
+            fh.write(b"svt-" + n.encode())
+    # COCO-Text layout (one annotation JSON; set + legibility filters)
+    coco = os.path.join(base, "coco")
+    os.makedirs(coco)
+    with open(os.path.join(coco, "ann.json"), "w") as fh:
+        _json.dump(
+            {
+                "imgs": {
+                    "101": {"set": "train", "file_name": "ct0.jpg"},
+                    "102": {"set": "val", "file_name": "ct1.jpg"},
+                    "103": {"set": "train", "file_name": "ct2.jpg"},
+                },
+                "anns": {
+                    "a1": {"image_id": 101, "legibility": "legible",
+                           "bbox": [10, 20, 40, 12], "utf8_string": "EXIT"},
+                    "a2": {"image_id": 101, "legibility": "illegible",
+                           "bbox": [5, 5, 10, 10], "utf8_string": "??"},
+                    "a3": {"image_id": 103, "legibility": "legible",
+                           "bbox": [30, 40, 20, 10], "utf8_string": "NORTH"},
+                },
+            },
+            fh,
+        )
+    for i in range(3):
+        with open(os.path.join(coco, f"ct{i}.jpg"), "wb") as fh:
+            fh.write(b"coco" + bytes([i]))
+    from doctr_spark.sources.archives import (
+        load_cocotext,
+        load_ic03,
+        load_ic13,
+        load_svt,
+        load_wildreceipt,
+    )
 
     loads = {}
     for name, src, load in (
@@ -743,6 +794,15 @@ def _q_archive_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     loads["wildreceipt"] = (
         load_wildreceipt(spark, wild_img, wr_ann),
         load_wildreceipt(spark, wild_img, wr_ann, use_polygons=True),
+    )
+    loads["svt"] = (
+        load_svt(spark, os.path.join(base, "svt"), train=True),
+        load_svt(spark, os.path.join(base, "svt"), train=True, use_polygons=True),
+    )
+    coco_ann = os.path.join(coco, "ann.json")
+    loads["coco_text"] = (
+        load_cocotext(spark, coco, coco_ann, train=True),
+        load_cocotext(spark, coco, coco_ann, train=True, use_polygons=True),
     )
     frames = []
     coord_sum = F.expr("aggregate(flatten(geoms), cast(0 as double), (a, x) -> a + x)")
@@ -773,7 +833,9 @@ _ARCHIVE_DATASETS_ORACLE = """
 -- SROIE 3 rows/img incl. a comma-containing label, 945/img, corners 1890/img;
 -- IC13 3 rows/img (trailing-comma strip + label dequote), 5144/img;
 -- IC03 1 image kept of 2 (words.xml), x/y/width/height -> 314;
--- WILDRECEIPT jsonl, min/max over 8 coords -> 328+50, corners 756
+-- WILDRECEIPT jsonl, min/max over 8 coords -> 328+50, corners 756;
+-- SVT train.xml xywh rects (112+202 + 50), COCO-Text set+legibility
+-- filters (1 val image excluded, 1 illegible ann dropped: 112+170)
 SELECT dataset, CAST(n_images AS BIGINT) AS n_images,
        CAST(n_words AS BIGINT) AS n_words,
        CAST(coord_sum AS BIGINT) AS coord_sum,
@@ -784,7 +846,9 @@ FROM (VALUES
   ('sroie', 2, 6, 1890, 3780),
   ('ic13', 2, 6, 10288, 20576),
   ('ic03', 1, 2, 314, 628),
-  ('wildreceipt', 2, 3, 378, 756)
+  ('wildreceipt', 2, 3, 378, 756),
+  ('svt', 2, 3, 364, 728),
+  ('coco_text', 2, 2, 282, 564)
 ) AS v(dataset, n_images, n_words, coord_sum, poly_coord_sum)
 """
 

@@ -33,6 +33,16 @@ Per-image annotation formats follow the reference loaders exactly:
   file — each line ``{"file_name", "annotations": [{"box": 8 coords,
   "text"}]}``; min/max reduction over the 8 coords else the 4 corners
   (wildreceipt.py:91-105).
+- SVT (reference datasets/svt.py:20-120): svt1/{train,test}.xml with
+  per-image taggedRectangles (x/y/width/height) and tag-child labels.
+- COCO-Text (reference datasets/coco_text.py:20-130): one annotation
+  JSON with ``imgs``/``anns`` maps — set filter, legibility filter,
+  xywh boxes, readable-text-less images skipped.
+
+(The remaining 5 reference formats — SVHN, IIIT5K, SynthText need
+h5py/scipy .mat readers absent from this container; MJSynth/IIITHWS are
+filename-label recognition corpora following the RecognitionDataset
+shape sources/datasets.py already provides.)
 
 Spark shape — identical to sources/datasets.py: the archive extracts
 once on the driver (the reference's VisionDataset download+extract step,
@@ -214,6 +224,66 @@ def parse_wildreceipt_line(
     return geoms, labels
 
 
+def parse_svt_xml(
+    xml_text: str, use_polygons: bool = False
+) -> dict[str, tuple[list[list[float]], list[str]]]:
+    """SVT train/test.xml -> {img_relpath: (geoms, labels)}: per-image
+    taggedRectangles with x/y/width/height attributes and tag-child
+    labels (svt.py:76-111; the reference unpacks the image element
+    positionally — this parses by tag name, same result on the published
+    schema)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    out: dict[str, tuple[list[list[float]], list[str]]] = {}
+    for image in root:
+        name = image.find("imageName").text
+        rectangles = image.find("taggedRectangles")
+        geoms: list[list[float]] = []
+        labels: list[str] = []
+        for rect in rectangles:
+            x, y = float(rect.attrib["x"]), float(rect.attrib["y"])
+            w, h = float(rect.attrib["width"]), float(rect.attrib["height"])
+            if use_polygons:
+                geoms.append([x, y, x + w, y, x + w, y + h, x, y + h])
+            else:
+                geoms.append([x, y, x + w, y + h])
+            labels.extend(lab.text for lab in rect)
+        out[name] = (geoms, labels)
+    return out
+
+
+def parse_cocotext(
+    data: dict, train: bool = True, use_polygons: bool = False
+) -> dict[str, tuple[list[list[float]], list[str]]]:
+    """COCO-Text annotation JSON -> {file_name: (geoms, labels)}: images
+    filtered by set, annotations by legibility == 'legible', xywh boxes
+    to corners or min/max, images without legible text skipped
+    (coco_text.py:78-118)."""
+    out: dict[str, tuple[list[list[float]], list[str]]] = {}
+    for img_id, img_info in data["imgs"].items():
+        if (img_info["set"] == "train") != train:
+            continue
+        anns = [
+            a
+            for a in data["anns"].values()
+            if a["image_id"] == int(img_id) and a["legibility"] == "legible"
+        ]
+        if not anns:
+            continue  # some images have no readable text
+        geoms: list[list[float]] = []
+        labels: list[str] = []
+        for a in anns:
+            x, y, w, h = (float(v) for v in a["bbox"])
+            if use_polygons:
+                geoms.append([x, y, x + w, y, x + w, y + h, x, y + h])
+            else:
+                geoms.append([x, y, x + w, y + h])
+            labels.append(a["utf8_string"])
+        out[img_info["file_name"]] = (geoms, labels)
+    return out
+
+
 # ------------------------------------------------------------------ loaders
 
 
@@ -321,6 +391,41 @@ def load_ic03(
     # XML image names may carry subdirs — binaryFile keeps only the
     # basename; re-key the broadcast map the same way
     parsed = {os.path.basename(k): v for k, v in parsed.items()}
+    return _attach_broadcast_columns(spark, imgs, parsed, ["geoms", "labels"], GEOM_SCHEMA)
+
+
+def load_svt(
+    spark: SparkSession, root: str, train: bool = True, use_polygons: bool = False
+) -> DataFrame:
+    """SVT extracted-archive root: svt1/{train,test}.xml with image paths
+    relative to svt1/ (svt.py:68-75). Broadcast map re-keyed by basename
+    (the published archive's img/NN.jpg basenames are unique)."""
+    sub = os.path.join(root, "svt1")
+    xml_path = os.path.join(sub, "train.xml" if train else "test.xml")
+    if not os.path.exists(xml_path):
+        raise FileNotFoundError(f"unable to locate {xml_path}")
+    with open(xml_path) as fh:
+        parsed = parse_svt_xml(fh.read(), use_polygons)
+    imgs = _images_df(spark, sub, list(parsed))
+    parsed = {os.path.basename(k): v for k, v in parsed.items()}
+    return _attach_broadcast_columns(spark, imgs, parsed, ["geoms", "labels"], GEOM_SCHEMA)
+
+
+def load_cocotext(
+    spark: SparkSession,
+    img_folder: str,
+    label_path: str,
+    train: bool = True,
+    use_polygons: bool = False,
+) -> DataFrame:
+    """COCO-Text: one annotation JSON over an image folder
+    (coco_text.py:66-76)."""
+    if not os.path.exists(label_path) or not os.path.isdir(img_folder):
+        missing = label_path if not os.path.exists(label_path) else img_folder
+        raise FileNotFoundError(f"unable to find {missing}")
+    with open(label_path) as fh:
+        parsed = parse_cocotext(json.load(fh), train, use_polygons)
+    imgs = _images_df(spark, img_folder, list(parsed))
     return _attach_broadcast_columns(spark, imgs, parsed, ["geoms", "labels"], GEOM_SCHEMA)
 
 

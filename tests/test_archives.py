@@ -282,3 +282,96 @@ def test_ic13_ic03_wildreceipt_loaders_end_to_end(spark, tmp_path):
     r = {x["img_name"]: x for x in df.collect()}["0.jpeg"]
     assert r["labels"] == ["CAFE", "9.50"]
     assert r["geoms"][0] == [8.0, 20.0, 50.0, 40.0]
+
+
+# ---------------------------------------------------- SVT / COCO-Text
+
+SVT_XML = """<tagset>
+  <image>
+    <imageName>img/14_03.jpg</imageName>
+    <address>341 Example Street</address>
+    <lex>STOP,AHEAD,OTHER</lex>
+    <Resolution x="640" y="480"/>
+    <taggedRectangles>
+      <taggedRectangle height="12" width="40" x="10" y="20"><tag>STOP</tag></taggedRectangle>
+      <taggedRectangle height="12" width="30" x="60" y="20"><tag>AHEAD</tag></taggedRectangle>
+    </taggedRectangles>
+  </image>
+  <image>
+    <imageName>img/14_04.jpg</imageName>
+    <address>342 Example Street</address>
+    <lex>WEST</lex>
+    <Resolution x="640" y="480"/>
+    <taggedRectangles>
+      <taggedRectangle height="10" width="20" x="5" y="5"><tag>WEST</tag></taggedRectangle>
+    </taggedRectangles>
+  </image>
+</tagset>"""
+
+COCO_JSON = {
+    "imgs": {
+        "101": {"set": "train", "file_name": "ct0.jpg"},
+        "102": {"set": "val", "file_name": "ct1.jpg"},
+        "103": {"set": "train", "file_name": "ct2.jpg"},
+        "104": {"set": "train", "file_name": "ct3.jpg"},
+    },
+    "anns": {
+        "a1": {"image_id": 101, "legibility": "legible", "bbox": [10, 20, 40, 12], "utf8_string": "EXIT"},
+        "a2": {"image_id": 101, "legibility": "illegible", "bbox": [5, 5, 10, 10], "utf8_string": "??"},
+        "a3": {"image_id": 103, "legibility": "legible", "bbox": [30, 40, 20, 10], "utf8_string": "NORTH"},
+        "a4": {"image_id": 104, "legibility": "illegible", "bbox": [1, 1, 2, 2], "utf8_string": "x"},
+    },
+}
+
+from doctr_spark.sources.archives import (  # noqa: E402
+    load_cocotext,
+    load_svt,
+    parse_cocotext,
+    parse_svt_xml,
+)
+
+
+def test_svt_parse_xywh_and_tag_labels():
+    parsed = parse_svt_xml(SVT_XML)
+    assert list(parsed) == ["img/14_03.jpg", "img/14_04.jpg"]
+    geoms, labels = parsed["img/14_03.jpg"]
+    assert labels == ["STOP", "AHEAD"]
+    assert geoms[0] == [10.0, 20.0, 50.0, 32.0]
+    pp = parse_svt_xml(SVT_XML, use_polygons=True)
+    assert pp["img/14_04.jpg"][0][0] == [5.0, 5.0, 25.0, 5.0, 25.0, 15.0, 5.0, 15.0]
+
+
+def test_cocotext_parse_set_and_legibility_filters():
+    parsed = parse_cocotext(COCO_JSON, train=True)
+    # val image excluded, illegible-only image skipped entirely
+    assert set(parsed) == {"ct0.jpg", "ct2.jpg"}
+    geoms, labels = parsed["ct0.jpg"]
+    assert labels == ["EXIT"]  # the illegible ann on 101 is dropped
+    assert geoms[0] == [10.0, 20.0, 50.0, 32.0]
+    # the val image has no legible anns at all -> skipped, not emitted empty
+    assert parse_cocotext(COCO_JSON, train=False) == {}
+
+
+def test_svt_and_cocotext_loaders_end_to_end(spark, tmp_path):
+    sub = tmp_path / "svt" / "svt1" / "img"
+    sub.mkdir(parents=True)
+    (tmp_path / "svt" / "svt1" / "train.xml").write_text(SVT_XML)
+    for n in ("14_03", "14_04"):
+        (sub / f"{n}.jpg").write_bytes(b"svt-" + n.encode())
+    df = load_svt(spark, str(tmp_path / "svt"), train=True)
+    rows = {r["img_name"]: r for r in df.collect()}
+    assert set(rows) == {"14_03.jpg", "14_04.jpg"}
+    assert rows["14_03.jpg"]["labels"] == ["STOP", "AHEAD"]
+
+    import json as _json
+
+    coco = tmp_path / "coco"
+    coco.mkdir()
+    (coco / "ann.json").write_text(_json.dumps(COCO_JSON))
+    for i in range(4):
+        (coco / f"ct{i}.jpg").write_bytes(b"coco" + bytes([i]))
+    df = load_cocotext(spark, str(coco), str(coco / "ann.json"), train=True)
+    rows = {r["img_name"]: r for r in df.collect()}
+    assert set(rows) == {"ct0.jpg", "ct2.jpg"}
+    assert rows["ct2.jpg"]["labels"] == ["NORTH"]
+    assert rows["ct2.jpg"]["geoms"][0] == [30.0, 40.0, 50.0, 50.0]
