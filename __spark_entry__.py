@@ -804,6 +804,30 @@ def _q_archive_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_cocotext(spark, coco, coco_ann, train=True),
         load_cocotext(spark, coco, coco_ann, train=True, use_polygons=True),
     )
+    # MJSynth / IIIT-HWS (filename-label recognition corpora): pinned by
+    # label count + total label chars (coord columns are 0 — no geometry)
+    from doctr_spark.sources.archives import load_iiithws, load_mjsynth
+
+    mj_root = os.path.join(base, "mj")
+    os.makedirs(os.path.join(mj_root, "2", "1"))
+    for rel, by in (("2/1/107_WELCOME_123.jpg", b"mj0"), ("2/1/108_Hello_77.jpg", b"mj1")):
+        with open(os.path.join(mj_root, rel), "wb") as fh:
+            fh.write(by)
+    mj_ann = os.path.join(base, "mj_ann.txt")
+    with open(mj_ann, "w") as fh:
+        fh.write("./2/1/107_WELCOME_123.jpg\n./2/1/108_Hello_77.jpg\n./9/9/999_DROPPED_0.jpg\n")
+    hw_root = os.path.join(base, "hw", "img")
+    os.makedirs(hw_root)
+    for n in ("a0", "a1", "a2"):
+        with open(os.path.join(hw_root, f"{n}.png"), "wb") as fh:
+            fh.write(b"hw-" + n.encode())
+    hw_ann = os.path.join(base, "hw_ann.txt")
+    with open(hw_ann, "w") as fh:
+        fh.write("img/a0.png HELLO\nimg/a1.png WORLD\nimg/a2.png SPARK\n")
+    reco_loads = {
+        "mjsynth": load_mjsynth(spark, mj_root, mj_ann, train=True),
+        "iiithws": load_iiithws(spark, os.path.join(base, "hw"), hw_ann, train=True),
+    }
     frames = []
     coord_sum = F.expr("aggregate(flatten(geoms), cast(0 as double), (a, x) -> a + x)")
     for name, (straight, poly) in loads.items():
@@ -817,6 +841,17 @@ def _q_archive_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
             s.crossJoin(p).select(
                 F.lit(name).alias("dataset"), "n_images", "n_words",
                 "coord_sum", "poly_coord_sum",
+            )
+        )
+    for name, df in reco_loads.items():
+        frames.append(
+            df.agg(
+                F.count("*").alias("n_images"),
+                F.count("label").alias("n_words"),
+                F.sum(F.length("label")).cast("long").alias("coord_sum"),
+            ).select(
+                F.lit(name).alias("dataset"), "n_images", "n_words",
+                "coord_sum", F.lit(0).cast("long").alias("poly_coord_sum"),
             )
         )
     out = frames[0]
@@ -835,7 +870,9 @@ _ARCHIVE_DATASETS_ORACLE = """
 -- IC03 1 image kept of 2 (words.xml), x/y/width/height -> 314;
 -- WILDRECEIPT jsonl, min/max over 8 coords -> 328+50, corners 756;
 -- SVT train.xml xywh rects (112+202 + 50), COCO-Text set+legibility
--- filters (1 val image excluded, 1 illegible ann dropped: 112+170)
+-- filters (1 val image excluded, 1 illegible ann dropped: 112+170);
+-- MJSynth/IIITHWS are recognition corpora: coord_sum = total label
+-- chars (WELCOME+Hello=12; deterministic-split WORLD+SPARK=10), poly 0
 SELECT dataset, CAST(n_images AS BIGINT) AS n_images,
        CAST(n_words AS BIGINT) AS n_words,
        CAST(coord_sum AS BIGINT) AS coord_sum,
@@ -848,7 +885,9 @@ FROM (VALUES
   ('ic03', 1, 2, 314, 628),
   ('wildreceipt', 2, 3, 378, 756),
   ('svt', 2, 3, 364, 728),
-  ('coco_text', 2, 2, 282, 564)
+  ('coco_text', 2, 2, 282, 564),
+  ('mjsynth', 2, 2, 12, 0),
+  ('iiithws', 2, 2, 10, 0)
 ) AS v(dataset, n_images, n_words, coord_sum, poly_coord_sum)
 """
 

@@ -39,10 +39,19 @@ Per-image annotation formats follow the reference loaders exactly:
   JSON with ``imgs``/``anns`` maps — set filter, legibility filter,
   xywh boxes, readable-text-less images skipped.
 
-(The remaining 5 reference formats — SVHN, IIIT5K, SynthText need
-h5py/scipy .mat readers absent from this container; MJSynth/IIITHWS are
-filename-label recognition corpora following the RecognitionDataset
-shape sources/datasets.py already provides.)
+- MJSynth (reference datasets/mjsynth.py:20-108): annotation file of
+  relative image paths whose SECOND underscore field is the label
+  (``./d/s/NNN_LABEL_NNN.jpg``), a known-corrupt-path blacklist, and a
+  90/10 in-order train split.
+- IIITHWS (reference datasets/iiithws.py:20-75): ``path label`` lines
+  with a shuffle-then-90/10 split — the reference shuffles UNSEEDED
+  (non-reproducible sets across runs); this loader orders by a stable
+  per-line hash instead so the split is deterministic, documented
+  deviation.
+
+(The remaining 3 reference formats — SVHN, IIIT5K, SynthText — store
+annotations in HDF5/MATLAB .mat containers; h5py/scipy are absent from
+this container, so they stay out of scope.)
 
 Spark shape — identical to sources/datasets.py: the archive extracts
 once on the driver (the reference's VisionDataset download+extract step,
@@ -427,6 +436,67 @@ def load_cocotext(
         parsed = parse_cocotext(json.load(fh), train, use_polygons)
     imgs = _images_df(spark, img_folder, list(parsed))
     return _attach_broadcast_columns(spark, imgs, parsed, ["geoms", "labels"], GEOM_SCHEMA)
+
+
+def load_mjsynth(
+    spark: SparkSession,
+    img_folder: str,
+    label_path: str,
+    train: bool = True,
+    blacklist: frozenset[str] = frozenset(),
+) -> DataFrame:
+    """MJSynth recognition corpus -> (img_name, image, n_bytes, label):
+    labels parsed from the filename's second underscore field, 90/10
+    in-order train split (mjsynth.py:95-104). The reference hardcodes a
+    blacklist of known-corrupt archive paths (mjsynth.py:54-74); pass
+    yours via ``blacklist`` — the corrupt-file list is data, not format."""
+    if not os.path.exists(label_path) or not os.path.isdir(img_folder):
+        missing = label_path if not os.path.exists(label_path) else img_folder
+        raise FileNotFoundError(f"unable to locate {missing}")
+    with open(label_path) as fh:
+        img_paths = fh.readlines()
+    train_samples = int(len(img_paths) * 0.9)
+    set_slice = slice(train_samples) if train else slice(train_samples, None)
+    parsed: dict[str, str] = {}
+    for path in img_paths[set_slice]:
+        if path in blacklist:
+            continue
+        rel = path[2:].strip() if path.startswith("./") else path.strip()
+        parsed[rel] = path.split("_")[1]
+    imgs = _images_df(spark, img_folder, list(parsed))
+    # binaryFile surfaces basenames; MJSynth filenames carry a unique
+    # numeric suffix, so the basename re-key is collision-free
+    parsed = {os.path.basename(k): v for k, v in parsed.items()}
+    return _attach_broadcast_columns(spark, imgs, parsed, ["label"], "label string")
+
+
+def load_iiithws(
+    spark: SparkSession, img_folder: str, label_path: str, train: bool = True
+) -> DataFrame:
+    """IIIT-HWS recognition corpus -> (img_name, image, n_bytes, label):
+    'path label' lines, shuffled then split 90/10 (iiithws.py:57-71).
+    Deviation from the reference, documented: theirs shuffles with the
+    UNSEEDED stdlib sample() — a different train/test membership every
+    run; this orders by a stable per-line md5 so the split is
+    deterministic (required for driver-pinnable results, and strictly
+    more reproducible)."""
+    import hashlib
+
+    if not os.path.exists(label_path) or not os.path.isdir(img_folder):
+        missing = label_path if not os.path.exists(label_path) else img_folder
+        raise FileNotFoundError(f"unable to locate {missing}")
+    with open(label_path) as fh:
+        annotations = [ln for ln in fh.readlines() if ln.strip()]
+    annotations.sort(key=lambda ln: hashlib.md5(ln.encode()).hexdigest())
+    train_samples = int(len(annotations) * 0.9)
+    set_slice = slice(train_samples) if train else slice(train_samples, None)
+    parsed: dict[str, str] = {}
+    for ln in annotations[set_slice]:
+        rel, label = ln.split()[0:2]
+        parsed[rel] = label
+    imgs = _images_df(spark, img_folder, list(parsed))
+    parsed = {os.path.basename(k): v for k, v in parsed.items()}
+    return _attach_broadcast_columns(spark, imgs, parsed, ["label"], "label string")
 
 
 def load_wildreceipt(

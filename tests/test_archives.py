@@ -375,3 +375,58 @@ def test_svt_and_cocotext_loaders_end_to_end(spark, tmp_path):
     assert set(rows) == {"ct0.jpg", "ct2.jpg"}
     assert rows["ct2.jpg"]["labels"] == ["NORTH"]
     assert rows["ct2.jpg"]["geoms"][0] == [30.0, 40.0, 50.0, 50.0]
+
+
+# ------------------------------------------------- MJSynth / IIIT-HWS
+
+MJSYNTH_ANN = (
+    "./2/1/107_WELCOME_123.jpg\n"
+    "./2/1/108_Hello_77.jpg\n"
+    "./3/1/109_SKIPPED_1.jpg\n"  # 90% in-order split drops the last line
+)
+
+IIITHWS_ANN = "img/a0.png HELLO\nimg/a1.png WORLD\nimg/a2.png SPARK\n"
+
+from doctr_spark.sources.archives import load_iiithws, load_mjsynth  # noqa: E402
+
+
+def test_mjsynth_filename_labels_and_split(spark, tmp_path):
+    root = tmp_path / "mj"
+    (root / "2" / "1").mkdir(parents=True)
+    (root / "3" / "1").mkdir(parents=True)
+    for rel in ("2/1/107_WELCOME_123.jpg", "2/1/108_Hello_77.jpg", "3/1/109_SKIPPED_1.jpg"):
+        (root / rel).write_bytes(b"mj-" + rel.encode())
+    ann = tmp_path / "mj_ann.txt"
+    ann.write_text(MJSYNTH_ANN)
+    df = load_mjsynth(spark, str(root), str(ann), train=True)
+    rows = {r["img_name"]: r["label"] for r in df.collect()}
+    # label = second underscore field; 90/10 in-order split keeps 2 of 3
+    assert rows == {"107_WELCOME_123.jpg": "WELCOME", "108_Hello_77.jpg": "Hello"}
+    test_df = load_mjsynth(spark, str(root), str(ann), train=False)
+    assert {r["label"] for r in test_df.collect()} == {"SKIPPED"}
+    # blacklist drops a corrupt path before parsing
+    bl = load_mjsynth(
+        spark, str(root), str(ann), train=True,
+        blacklist=frozenset(["./2/1/108_Hello_77.jpg\n"]),
+    )
+    assert {r["label"] for r in bl.collect()} == {"WELCOME"}
+
+
+def test_iiithws_deterministic_split(spark, tmp_path):
+    root = tmp_path / "hw" / "img"
+    root.mkdir(parents=True)
+    for n in ("a0", "a1", "a2"):
+        (root / f"{n}.png").write_bytes(b"hw-" + n.encode())
+    ann = tmp_path / "hw_ann.txt"
+    ann.write_text(IIITHWS_ANN)
+    tr = load_iiithws(spark, str(tmp_path / "hw"), str(ann), train=True)
+    te = load_iiithws(spark, str(tmp_path / "hw"), str(ann), train=False)
+    tr_labels = {r["label"] for r in tr.collect()}
+    te_labels = {r["label"] for r in te.collect()}
+    # deterministic hash-ordered split: 2 train + 1 test, disjoint, total 3
+    assert len(tr_labels) == 2 and len(te_labels) == 1
+    assert tr_labels | te_labels == {"HELLO", "WORLD", "SPARK"}
+    assert not (tr_labels & te_labels)
+    # stable across invocations (the reference's unseeded shuffle is not)
+    tr2 = {r["label"] for r in load_iiithws(spark, str(tmp_path / "hw"), str(ann), train=True).collect()}
+    assert tr2 == tr_labels
