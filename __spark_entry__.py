@@ -828,6 +828,48 @@ def _q_archive_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mjsynth": load_mjsynth(spark, mj_root, mj_ann, train=True),
         "iiithws": load_iiithws(spark, os.path.join(base, "hw"), hw_ann, train=True),
     }
+    # IIIT5K / SynthText (.mat containers, bundled MAT-v5 codec)
+    import numpy as _np
+
+    from doctr_spark.sources.archives import load_iiit5k, load_synthtext
+    from doctr_spark.sources.matio import write_mat
+
+    i5k = os.path.join(base, "i5k", "IIIT5K")
+    os.makedirs(os.path.join(i5k, "train"))
+    for n in ("1", "2"):
+        with open(os.path.join(i5k, "train", f"{n}.png"), "wb") as fh:
+            fh.write(b"i5k-" + n.encode())
+    write_mat(
+        os.path.join(i5k, "trainCharBound.mat"),
+        {"trainCharBound": [
+            {"ImgName": "train/1.png", "chars": "YOU",
+             "charBB": _np.array([[10.0, 20, 8, 12], [20, 20, 8, 12], [30, 20, 8, 12]])},
+            {"ImgName": "train/2.png", "chars": "ARE",
+             "charBB": _np.array([[5.0, 5, 6, 10], [12, 5, 6, 10], [19, 5, 6, 10]])},
+        ]},
+    )
+    st = os.path.join(base, "st", "SynthText")
+    os.makedirs(os.path.join(st, "d"))
+    for n in ("0", "1", "2"):
+        with open(os.path.join(st, "d", f"{n}.jpg"), "wb") as fh:
+            fh.write(b"st-" + n.encode())
+    w0a = _np.array([[10, 50, 48, 8], [20, 22, 40, 38]], dtype=float)
+    w0b = _np.array([[60, 90, 90, 60], [20, 20, 40, 40]], dtype=float)
+    wb1 = _np.array([[5, 25, 25, 5], [5, 5, 15, 15]], dtype=float)
+    write_mat(
+        os.path.join(st, "gt.mat"),
+        {"imnames": ["d/0.jpg", "d/1.jpg", "d/2.jpg"],
+         "wordBB": [_np.stack([w0a, w0b], axis=2), wb1, wb1],
+         "txt": [["CAFE 9X    ", "          "], ["SOLO   "], ["LAST   "]]},
+    )
+    loads["iiit5k"] = (
+        load_iiit5k(spark, os.path.join(base, "i5k"), train=True),
+        load_iiit5k(spark, os.path.join(base, "i5k"), train=True, use_polygons=True),
+    )
+    loads["synthtext"] = (
+        load_synthtext(spark, os.path.join(base, "st"), train=True),
+        load_synthtext(spark, os.path.join(base, "st"), train=True, use_polygons=True),
+    )
     frames = []
     coord_sum = F.expr("aggregate(flatten(geoms), cast(0 as double), (a, x) -> a + x)")
     for name, (straight, poly) in loads.items():
@@ -872,7 +914,9 @@ _ARCHIVE_DATASETS_ORACLE = """
 -- SVT train.xml xywh rects (112+202 + 50), COCO-Text set+legibility
 -- filters (1 val image excluded, 1 illegible ann dropped: 112+170);
 -- MJSynth/IIITHWS are recognition corpora: coord_sum = total label
--- chars (WELCOME+Hello=12; deterministic-split WORLD+SPARK=10), poly 0
+-- chars (WELCOME+Hello=12; deterministic-split WORLD+SPARK=10), poly 0;
+-- IIIT5K per-CHAR xywh boxes via the bundled MAT-v5 codec (300+150);
+-- SynthText gt.mat corner tensors, 90/10 split keeps 2 of 3 (328+50)
 SELECT dataset, CAST(n_images AS BIGINT) AS n_images,
        CAST(n_words AS BIGINT) AS n_words,
        CAST(coord_sum AS BIGINT) AS coord_sum,
@@ -887,7 +931,9 @@ FROM (VALUES
   ('svt', 2, 3, 364, 728),
   ('coco_text', 2, 2, 282, 564),
   ('mjsynth', 2, 2, 12, 0),
-  ('iiithws', 2, 2, 10, 0)
+  ('iiithws', 2, 2, 10, 0),
+  ('iiit5k', 2, 6, 450, 900),
+  ('synthtext', 2, 3, 378, 756)
 ) AS v(dataset, n_images, n_words, coord_sum, poly_coord_sum)
 """
 

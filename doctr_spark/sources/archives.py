@@ -49,9 +49,18 @@ Per-image annotation formats follow the reference loaders exactly:
   per-line hash instead so the split is deterministic, documented
   deviation.
 
-(The remaining 3 reference formats — SVHN, IIIT5K, SynthText — store
-annotations in HDF5/MATLAB .mat containers; h5py/scipy are absent from
-this container, so they stay out of scope.)
+- IIIT5K (reference datasets/iiit5k.py:20-110): a v5 ``.mat`` holding a
+  1xN struct array (ImgName, label chars, per-CHARACTER xywh boxes) —
+  parsed with the bundled pure-Python MAT-v5 codec (sources/matio.py;
+  the public MAT-File Format spec, zlib elements included).
+- SynthText (reference datasets/synthtext.py:20-140): ``gt.mat`` cell
+  arrays ``imnames`` / ``wordBB`` (2x4xW corner tensors) / ``txt``
+  (char rows whose whitespace-split words align with boxes), 90/10
+  in-order split — same MAT-v5 codec.
+
+(The one remaining reference format — SVHN — stores digitStruct.mat as
+HDF5 (MAT v7.3); no HDF5 reader ships in this container, so it stays
+out of scope.)
 
 Spark shape — identical to sources/datasets.py: the archive extracts
 once on the driver (the reference's VisionDataset download+extract step,
@@ -435,6 +444,76 @@ def load_cocotext(
     with open(label_path) as fh:
         parsed = parse_cocotext(json.load(fh), train, use_polygons)
     imgs = _images_df(spark, img_folder, list(parsed))
+    return _attach_broadcast_columns(spark, imgs, parsed, ["geoms", "labels"], GEOM_SCHEMA)
+
+
+def load_iiit5k(
+    spark: SparkSession, root: str, train: bool = True, use_polygons: bool = False
+) -> DataFrame:
+    """IIIT5K extracted-archive root: {train,test}CharBound.mat holds a
+    1xN struct array whose fields unpack positionally to (img path,
+    label, per-character xywh boxes) (iiit5k.py:70-110); labels become
+    the per-character list aligned with the boxes."""
+    from .matio import read_mat
+
+    sub = os.path.join(root, "IIIT5K")
+    mat_file = "trainCharBound" if train else "testCharBound"
+    mat_path = os.path.join(sub, f"{mat_file}.mat")
+    if not os.path.exists(mat_path):
+        raise FileNotFoundError(f"unable to locate {mat_path}")
+    entries = read_mat(mat_path)[mat_file]
+    parsed: dict[str, tuple[list[list[float]], list[str]]] = {}
+    for entry in entries:
+        img_path, label, boxes = list(entry.values())[:3]  # field order
+        geoms: list[list[float]] = []
+        for b in np.atleast_2d(np.asarray(boxes, dtype=np.float64)):
+            x, y, w, h = (float(v) for v in b[:4])
+            if use_polygons:
+                geoms.append([x, y, x + w, y, x + w, y + h, x, y + h])
+            else:
+                geoms.append([x, y, x + w, y + h])
+        parsed[img_path] = (geoms, list(label))
+    imgs = _images_df(spark, sub, list(parsed))
+    parsed = {os.path.basename(k): v for k, v in parsed.items()}
+    return _attach_broadcast_columns(spark, imgs, parsed, ["geoms", "labels"], GEOM_SCHEMA)
+
+
+def load_synthtext(
+    spark: SparkSession, root: str, train: bool = True, use_polygons: bool = False
+) -> DataFrame:
+    """SynthText extracted-archive root: gt.mat cells imnames / wordBB /
+    txt with a 90/10 in-order split (synthtext.py:91-116); wordBB is a
+    2x4xW corner tensor (2x4 when one word) transposed to per-word
+    (4, 2) quads, txt rows whitespace-split to per-box labels."""
+    from .matio import read_mat
+
+    sub = os.path.join(root, "SynthText")
+    mat_path = os.path.join(sub, "gt.mat")
+    if not os.path.exists(mat_path):
+        raise FileNotFoundError(f"unable to locate {mat_path}")
+    gt = read_mat(mat_path)
+    imnames, word_bbs, txts = gt["imnames"], gt["wordBB"], gt["txt"]
+    train_samples = int(len(imnames) * 0.9)
+    sl = slice(train_samples) if train else slice(train_samples, None)
+    parsed: dict[str, tuple[list[list[float]], list[str]]] = {}
+    for img_path, wb, txt in zip(imnames[sl], word_bbs[sl], txts[sl]):
+        rows = txt if isinstance(txt, list) else [txt]
+        labels = [word for row in rows for word in row.split()]
+        q = np.asarray(wb, dtype=np.float64)
+        q = q.transpose(2, 1, 0) if q.ndim == 3 else q.transpose(1, 0)[None]
+        if use_polygons:
+            geoms = [[float(v) for v in quad.reshape(-1)] for quad in q]
+        else:
+            geoms = [
+                [
+                    float(quad[:, 0].min()), float(quad[:, 1].min()),
+                    float(quad[:, 0].max()), float(quad[:, 1].max()),
+                ]
+                for quad in q
+            ]
+        parsed[img_path] = (geoms, labels)
+    imgs = _images_df(spark, sub, list(parsed))
+    parsed = {os.path.basename(k): v for k, v in parsed.items()}
     return _attach_broadcast_columns(spark, imgs, parsed, ["geoms", "labels"], GEOM_SCHEMA)
 
 

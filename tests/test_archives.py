@@ -430,3 +430,120 @@ def test_iiithws_deterministic_split(spark, tmp_path):
     # stable across invocations (the reference's unseeded shuffle is not)
     tr2 = {r["label"] for r in load_iiithws(spark, str(tmp_path / "hw"), str(ann), train=True).collect()}
     assert tr2 == tr_labels
+
+
+# ------------------------------------------ IIIT5K / SynthText (.mat)
+
+
+def test_matio_round_trip_all_supported_classes(tmp_path):
+    """The bundled MAT-v5 codec: numeric (incl. 3-D column-major), char,
+    cell, struct array, zlib-wrapped elements."""
+    import numpy as np
+
+    from doctr_spark.sources.matio import read_mat, write_mat
+
+    p = str(tmp_path / "rt.mat")
+    wb3 = np.arange(24, dtype=float).reshape(2, 4, 3, order="F")
+    data = {
+        "s": [{"a": "one", "b": np.array([[1.0, 2.0]])},
+              {"a": "two", "b": np.array([[3.0, 4.0]])}],
+        "c": ["x/0.jpg", "y/1.jpg"],
+        "m3": wb3,
+        "v": np.array([1.0, 2.5, -3.0]),
+    }
+    for compress in (True, False):
+        write_mat(p, data, compress=compress)
+        back = read_mat(p)
+        assert [e["a"] for e in back["s"]] == ["one", "two"]
+        np.testing.assert_array_equal(back["s"][1]["b"], [[3.0, 4.0]])
+        assert back["c"] == ["x/0.jpg", "y/1.jpg"]
+        np.testing.assert_array_equal(back["m3"], wb3)
+        np.testing.assert_array_equal(back["v"], [[1.0, 2.5, -3.0]])
+
+
+def test_matio_rejects_garbage(tmp_path):
+    from doctr_spark.sources.matio import read_mat
+
+    p = tmp_path / "bad.mat"
+    p.write_bytes(b"\x00" * 20)
+    with pytest.raises(ValueError):
+        read_mat(str(p))
+
+
+def _build_iiit5k(tmp_path):
+    import numpy as np
+
+    from doctr_spark.sources.matio import write_mat
+
+    sub = tmp_path / "i5k" / "IIIT5K" / "train"
+    sub.mkdir(parents=True)
+    for n in ("1", "2"):
+        (sub / f"{n}.png").write_bytes(b"i5k-" + n.encode())
+    entries = [
+        {"ImgName": "train/1.png", "chars": "YOU",
+         "charBB": np.array([[10.0, 20, 8, 12], [20, 20, 8, 12], [30, 20, 8, 12]])},
+        {"ImgName": "train/2.png", "chars": "ARE",
+         "charBB": np.array([[5.0, 5, 6, 10], [12, 5, 6, 10], [19, 5, 6, 10]])},
+    ]
+    write_mat(str(tmp_path / "i5k" / "IIIT5K" / "trainCharBound.mat"),
+              {"trainCharBound": entries})
+    return str(tmp_path / "i5k")
+
+
+def test_iiit5k_loader_char_boxes(spark, tmp_path):
+    from doctr_spark.sources.archives import load_iiit5k
+
+    df = load_iiit5k(spark, _build_iiit5k(tmp_path), train=True)
+    rows = {r["img_name"]: r for r in df.collect()}
+    assert set(rows) == {"1.png", "2.png"}
+    # label cast to per-character list aligned with the char boxes
+    assert rows["1.png"]["labels"] == ["Y", "O", "U"]
+    # xywh -> xyxy (iiit5k.py:99)
+    assert rows["1.png"]["geoms"][0] == [10.0, 20.0, 18.0, 32.0]
+    df_p = load_iiit5k(spark, str(tmp_path / "i5k"), train=True, use_polygons=True)
+    r = {x["img_name"]: x for x in df_p.collect()}["2.png"]
+    assert r["geoms"][2] == [19.0, 5.0, 25.0, 5.0, 25.0, 15.0, 19.0, 15.0]
+
+
+def _build_synthtext(tmp_path):
+    import numpy as np
+
+    from doctr_spark.sources.matio import write_mat
+
+    sub = tmp_path / "st" / "SynthText" / "d"
+    sub.mkdir(parents=True)
+    for n in ("0", "1", "2"):
+        (sub / f"{n}.jpg").write_bytes(b"st-" + n.encode())
+    # two words on image 0 (2x4x2 corner tensor), one on images 1 and 2
+    w0a = np.array([[10, 50, 48, 8], [20, 22, 40, 38]], dtype=float)  # (2,4) x;y
+    w0b = np.array([[60, 90, 90, 60], [20, 20, 40, 40]], dtype=float)
+    wb0 = np.stack([w0a, w0b], axis=2)  # (2, 4, 2)
+    wb1 = np.array([[5, 25, 25, 5], [5, 5, 15, 15]], dtype=float)  # (2, 4)
+    write_mat(
+        str(tmp_path / "st" / "SynthText" / "gt.mat"),
+        {
+            "imnames": ["d/0.jpg", "d/1.jpg", "d/2.jpg"],
+            "wordBB": [wb0, wb1, wb1],
+            "txt": [["CAFE 9X    ", "          "], ["SOLO   "], ["LAST   "]],
+        },
+    )
+    return str(tmp_path / "st")
+
+
+def test_synthtext_loader_corner_tensors_and_split(spark, tmp_path):
+    from doctr_spark.sources.archives import load_synthtext
+
+    root = _build_synthtext(tmp_path)
+    df = load_synthtext(spark, root, train=True)  # int(3*0.9)=2 -> first 2
+    rows = {r["img_name"]: r for r in df.collect()}
+    assert set(rows) == {"0.jpg", "1.jpg"}
+    assert rows["0.jpg"]["labels"] == ["CAFE", "9X"]
+    # min/max over the skewed (4,2) quad (synthtext.py:114-116)
+    assert rows["0.jpg"]["geoms"][0] == [8.0, 20.0, 50.0, 40.0]
+    assert rows["1.jpg"]["labels"] == ["SOLO"]
+    te = load_synthtext(spark, root, train=False)
+    assert {r["img_name"] for r in te.collect()} == {"2.jpg"}
+    df_p = load_synthtext(spark, root, train=True, use_polygons=True)
+    r = {x["img_name"]: x for x in df_p.collect()}["0.jpg"]
+    # corner tensor transposed to per-word (4,2) -> 8 flat coords
+    assert r["geoms"][1] == [60.0, 20.0, 90.0, 20.0, 90.0, 40.0, 60.0, 40.0]
