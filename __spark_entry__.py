@@ -1556,6 +1556,100 @@ def _q_bundle_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest extraction, driver-checked: extract_turns runs
+    through a REAL file-source readStream (pinned schema, one file per
+    trigger, availableNow) with a foreachBatch observer — the north
+    rule's resumable-streaming surface executed, not just unit-tested.
+    Two single-file arrivals become two micro-batches; the oracle pins
+    per-micro-batch turn counts AND per-batch exactness (n_exact ==
+    n_turns in EVERY batch — the fused stage is stateless per turn, so
+    batch boundaries cannot change any turn's output), plus the
+    exactly-once union row."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from doctr_spark.sources.corpus import make_transcripts
+    from doctr_spark.streaming.stream import extract_stream, stream_transcripts
+
+    base = tempfile.mkdtemp(prefix="doctr_spark_stream_q_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    gen = make_transcripts(spark, 4, partitions=2, ocr_ratio=1.0, html_ratio=0.0).cache()
+    expected = {
+        (r["conv_id"], r["turn_idx"]): r["expected_text"]
+        for r in gen.select("conv_id", "turn_idx", "expected_text").collect()
+    }
+    groups = (("conv-000000", "conv-000001"), ("conv-000002", "conv-000003"))
+    for i, convs in enumerate(groups):
+        tmp = os.path.join(base, f"stage_{i}")
+        (
+            gen.filter(F.col("conv_id").isin(list(convs)))
+            .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+        )
+        shutil.copy(
+            glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(in_dir, f"{i}.parquet"),
+        )
+        _time.sleep(1.1)  # file-source ordering is by mtime
+    gen.unpersist()
+
+    batches: list[dict] = []
+
+    def capture(df, epoch_id):
+        rows = df.select("conv_id", "turn_idx", "extracted_text").collect()
+        if rows:
+            batches.append(
+                {
+                    "convs": {r["conv_id"] for r in rows},
+                    "n_turns": len(rows),
+                    "n_exact": sum(
+                        expected[(r["conv_id"], r["turn_idx"])] == r["extracted_text"]
+                        for r in rows
+                    ),
+                }
+            )
+
+    q = (
+        extract_stream(stream_transcripts(spark, in_dir, max_files_per_trigger=1))
+        .writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out_rows = []
+    for b in batches:
+        # name batches by CONTENT (which conv group), not arrival epoch
+        name = "batch_a" if "conv-000000" in b["convs"] else "batch_b"
+        out_rows.append((name, b["n_turns"], b["n_exact"]))
+    out_rows.append(
+        ("union", sum(b["n_turns"] for b in batches), sum(b["n_exact"] for b in batches))
+    )
+    return spark.createDataFrame(
+        out_rows, "batch string, n_turns long, n_exact long"
+    )
+
+
+_STREAMING_EXTRACT_ORACLE = """
+-- two single-file readStream micro-batches over the first 4 generator
+-- convs (12+3 = 15 and 13+13 = 26 turns); invariants: per-BATCH
+-- exactness (n_exact == n_turns in each micro-batch) and exactly-once
+-- union coverage (41 turns total, none duplicated or dropped)
+SELECT batch, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_exact AS BIGINT) AS n_exact
+FROM (VALUES
+  ('batch_a', 15, 15),
+  ('batch_b', 26, 26),
+  ('union', 41, 41)
+) AS v(batch, n_turns, n_exact)
+"""
+
+
 def _q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window clustering on the events stream (batch-mode session
     windows; same operator the streaming path uses)."""
@@ -1917,20 +2011,22 @@ FROM (VALUES
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-checked queries. ORDER MATTERS: the driver's CORRECTNESS gate
     checks the FIRST 50 dict entries only. Round-5 rotation: positions
-    0-2 hold the queries NEW this round, positions 3-4 the queries whose
+    0-3 hold the queries NEW this round, positions 4-5 the queries whose
     code paths changed this round (the ONNX executor/codec rewrite and
     the hub cache-dir change), then ALL 40 queries whose newest driver
     row is r03 (rotated past the cap during round 4 — the documented
-    2-round staleness bound) come back inside the window, and the last 5
-    slots refresh the flagship extraction queries. Entries past position
-    49 were all driver-verified green in r04, are unchanged this round,
-    and remain builder-checked via scripts/check_oracles.py every round
-    (ROUND5.md has the ledger)."""
+    2-round staleness bound) come back inside the window, and the last 4
+    slots refresh flagship extraction queries (kie_extract, r04-green
+    and unchanged, sits just past the cap at position 50). Entries past
+    position 49 were all driver-verified green in r04, are unchanged
+    this round, and remain builder-checked via scripts/check_oracles.py
+    every round (ROUND5.md has the ledger)."""
     return {
         # --- new round-5 queries (no prior driver row)
         "orientation_zoo": _q_orientation_zoo,
         "onnx_fpn_zoo": _q_onnx_fpn_zoo,
         "archive_datasets": _q_archive_datasets,
+        "streaming_extract": _q_streaming_extract,
         # --- code paths touched this round (onnx_exec/onnx_proto widen;
         # hub cache dir keyed by uid)
         "onnx_zoo": _q_onnx_zoo,
@@ -2040,6 +2136,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "orientation_zoo": _ORIENTATION_ZOO_ORACLE,
         "onnx_fpn_zoo": _ONNX_FPN_ZOO_ORACLE,
+        "streaming_extract": _STREAMING_EXTRACT_ORACLE,
         "archive_datasets": _ARCHIVE_DATASETS_ORACLE,
         "dbnet_fpn_ocr": _DBNET_FPN_OCR_ORACLE,
         "crnn_bilstm_ocr": _CRNN_BILSTM_OCR_ORACLE,
