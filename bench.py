@@ -204,6 +204,9 @@ def run_queries(spark) -> dict[str, float]:
         "orientation_zoo",
         "onnx_fpn_zoo",
         "archive_datasets",
+        # streaming_extract is deliberately NOT benched: its protocol
+        # sleeps >2s for file-source mtime ordering, which would read as
+        # operator latency
         "cube_events",
         "pricing_summary",
         "revenue_by_nation",

@@ -139,11 +139,7 @@ def _read_tag(buf: bytes, pos: int) -> tuple[int, int, int, int]:
         return mi_type, n, pos + 4, pos + 8
     n = struct.unpack_from("<I", buf, pos + 4)[0]
     data_pos = pos + 8
-    return mi_type_full(word), n, data_pos, data_pos + n + (-n % 8)
-
-
-def mi_type_full(word: int) -> int:
-    return word & 0xFFFFFFFF
+    return word, n, data_pos, data_pos + n + (-n % 8)
 
 
 def _subelements(buf: bytes, pos: int, end: int):
@@ -158,7 +154,10 @@ def _decode_matrix(payload: bytes) -> tuple[str, Any]:
     (mi_f, flags), (mi_d, dims_raw), (mi_n, name_raw) = subs[0], subs[1], subs[2]
     if mi_f != MI_UINT32 or mi_d != MI_INT32:
         raise ValueError("malformed miMATRIX header subelements")
-    mx_class = struct.unpack_from("<I", flags, 0)[0] & 0xFF
+    flags_word = struct.unpack_from("<I", flags, 0)[0]
+    mx_class = flags_word & 0xFF
+    if flags_word & 0x0800:  # complex flag: only pr would be read — refuse
+        raise ValueError("complex numeric arrays are not supported")
     dims = np.frombuffer(dims_raw, dtype="<i4").tolist()
     name = name_raw.decode("ascii", errors="replace").rstrip("\x00")
     rest = subs[3:]
