@@ -600,15 +600,19 @@ FROM (VALUES ('onnx-fpn-det', 15, 15)) AS v(models, n_turns, n_exact)
 
 
 def _q_archive_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Public-benchmark archive loaders (sources/archives.py: FUNSD
-    datasets/funsd.py:21-120, CORD cord.py:20-120, SROIE sroie.py:20-108)
-    over deterministic mock archives built exactly the way the reference's
-    own tests mock them (tests/conftest.py:113-783: zip layout + per-image
-    annotations, opaque image bytes). Pins, per dataset: image count,
-    parsed word count (empty-text words dropped), the straight-box
-    coordinate sum (min/max reduction parity), and the polygon-corner
-    coordinate sum (use_polygons corner-order parity) — any drift in the
-    format parsing or the box conversion moves a sum."""
+    """Public-benchmark archive loaders (sources/archives.py) — 12 of the
+    reference's 13 dataset formats (FUNSD, CORD, SROIE, IC13, IC03,
+    WILDRECEIPT, SVT, COCO-Text, MJSynth, IIIT-HWS, plus IIIT5K and
+    SynthText through the bundled MAT-v5 codec; only HDF5-based SVHN is
+    out) over deterministic mock archives built exactly the way the
+    reference's own tests mock them (tests/conftest.py:113-783: zip
+    layout + per-image annotations, opaque image bytes). Pins, per
+    dataset: image count, parsed word count (empty-text words dropped,
+    set/legibility filters applied), the straight-box coordinate sum
+    (min/max reduction parity), and the polygon-corner coordinate sum
+    (use_polygons corner-order parity) — any drift in the format parsing
+    or the box conversion moves a sum. Recognition corpora (MJSynth /
+    IIIT-HWS) pin label counts and total label chars instead."""
     import json as _json
     import os
     import shutil as _shutil
