@@ -39,6 +39,15 @@ AdaptiveAvgPool2d -> GlobalAveragePool, Linear -> Gemm transB=1):
   Gemm       — attrs: alpha, beta, transA, transB; Y = aA'B' + bC
   Softmax    — attr: axis (default -1)
 
+plus the elementwise set a literal MobileNetV3 block exports
+(hardsigmoid/hardswish activations and their Clip/Mul/Div decomposition
+on older exporter versions):
+
+  Mul, Div   — elementwise with numpy broadcasting
+  Clip       — min/max inputs (opset 11+) or attrs
+  HardSigmoid — attrs alpha (default 0.2), beta (default 0.5)
+  HardSwish  — x * hardsigmoid(x; 1/6, 1/2), opset 14
+
   Sub        — elementwise with numpy broadcasting
   ReduceMax  — attrs: axes (ints, negatives allowed), keepdims (default 1)
   Transpose  — attr: perm (ints)
@@ -58,6 +67,7 @@ _SUPPORTED = {
     "Conv", "Sigmoid", "Sub", "ReduceMax", "Transpose",
     "Add", "Relu", "MaxPool", "Concat", "Resize", "BatchNormalization",
     "GlobalAveragePool", "Flatten", "Gemm", "Softmax",
+    "Mul", "Div", "Clip", "HardSigmoid", "HardSwish",
 }
 _FFT_CACHE_MAX = 8  # kernel spectra per session; FIFO eviction (see Conv)
 
@@ -260,6 +270,21 @@ class NumpySession:
                 out = ins[0].astype(np.float64) + ins[1].astype(np.float64)
             elif op == "Relu":
                 out = np.maximum(ins[0], 0.0)
+            elif op == "Mul":
+                out = ins[0].astype(np.float64) * ins[1].astype(np.float64)
+            elif op == "Div":
+                out = ins[0].astype(np.float64) / ins[1].astype(np.float64)
+            elif op == "Clip":
+                lo = ins[1] if len(ins) > 1 and ins[1] is not None else node["attrs"].get("min", -np.inf)
+                hi = ins[2] if len(ins) > 2 and ins[2] is not None else node["attrs"].get("max", np.inf)
+                out = np.clip(ins[0].astype(np.float64), np.asarray(lo, dtype=np.float64), np.asarray(hi, dtype=np.float64))
+            elif op == "HardSigmoid":
+                a = node["attrs"].get("alpha", 0.2)
+                b = node["attrs"].get("beta", 0.5)
+                out = np.clip(a * ins[0].astype(np.float64) + b, 0.0, 1.0)
+            elif op == "HardSwish":
+                z = ins[0].astype(np.float64)
+                out = z * np.clip(z / 6.0 + 0.5, 0.0, 1.0)
             elif op == "MaxPool":
                 out = _maxpool2d(ins[0], node["attrs"])
             elif op == "BatchNormalization":

@@ -355,3 +355,62 @@ def test_resize_scales_input_path():
     np.testing.assert_array_equal(
         out[0, 0], np.kron(small[0, 0], np.ones((2, 2), np.float32))
     )
+
+
+def test_mobilenet_elementwise_ops_semantics():
+    """Mul / Div / Clip (inputs and attrs) / HardSigmoid / HardSwish vs
+    hand-computed opset semantics — the activation set a literal
+    MobileNetV3 block exports."""
+    x = np.linspace(-4, 4, 9, dtype=np.float32).reshape(1, 1, 3, 3)
+    out = _exec_single(
+        [encode_node("Mul", ["x", "x"], ["sq"]),
+         encode_node("Div", ["sq", "two"], ["y"])],
+        {"two": np.full((1, 1, 3, 3), 2.0, np.float32)}, x, (1, 1, 3, 3),
+    )
+    np.testing.assert_allclose(out, x * x / 2.0, rtol=1e-6)
+
+    # Clip via min/max INPUTS (opset 11+ form)
+    out = _exec_single(
+        [encode_node("Clip", ["x", "lo", "hi"], ["y"])],
+        {"lo": np.array(-1.0, np.float32).reshape(()),
+         "hi": np.array(2.0, np.float32).reshape(())},
+        x, (1, 1, 3, 3),
+    )
+    np.testing.assert_allclose(out, np.clip(x, -1.0, 2.0), rtol=1e-6)
+
+    out = _exec_single(
+        [encode_node("HardSigmoid", ["x"], ["y"], alpha=1.0 / 6.0, beta=0.5)],
+        {}, x, (1, 1, 3, 3),
+    )
+    np.testing.assert_allclose(out, np.clip(x / 6.0 + 0.5, 0, 1), rtol=1e-6)
+
+    out = _exec_single([encode_node("HardSwish", ["x"], ["y"])], {}, x, (1, 1, 3, 3))
+    np.testing.assert_allclose(
+        out, x * np.clip(x / 6.0 + 0.5, 0, 1), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_fpn_canvas_covers_every_corpus_page():
+    """The FPN graph's exact-2x preprocessing assumption holds for every
+    OCR page the onnx_fpn_zoo corpus renders: pages are 640 wide and
+    <= 360 tall, so min(720/H, 1280/640) == 2.0 exactly and the nearest
+    resize is pixel replication (mask topology preserved)."""
+    from doctr_spark.plans.onnx_export import FPN_INPUT_HW
+    from doctr_spark.sources.corpus import gen_turn
+    from doctr_spark.sources.payloads import decode_page_bundle, parse_tool_envelope
+
+    H, W = FPN_INPUT_HW
+    n_pages = 0
+    for c in range(4):
+        for t in range(20):
+            row = gen_turn(c, t, 1.0, 0.0, 3, 0.0, 0.0)
+            payload = parse_tool_envelope(row["tool"])
+            if payload is None or payload[0] != "page_bundle":
+                continue
+            pages, _ = decode_page_bundle(payload[1])
+            for p in pages:
+                n_pages += 1
+                assert p.shape[1] == 640
+                assert p.shape[0] <= H // 2, p.shape
+                assert min(H / p.shape[0], W / p.shape[1]) >= 2.0
+    assert n_pages > 10
