@@ -204,10 +204,10 @@ def onnx_detector(
     boxes) — the exact composition the reference's DetectionPredictor runs
     (preprocess + model + DetectionPostProcessor). Uses onnxruntime when
     installed; otherwise the same .onnx file executes through the bundled
-    pure-numpy ONNX executor (plans/onnx_exec.py — the real-exporter op
-    set: Conv/Relu/MaxPool/BatchNormalization/Resize/Add/Concat/Sigmoid/
-    Sub/ReduceMax/Transpose), so the serialized-checkpoint load path runs
-    either way.
+    pure-numpy ONNX executor (plans/onnx_exec.py — a 20-op real-exporter
+    set: conv/pool/norm/resize/merge ops plus the classifier head and
+    the MobileNet elementwise activations), so the serialized-checkpoint
+    load path runs either way.
     """
     from ..operators.detection import DB_POSTPROC, postprocess_proba_map
     from ..operators.preprocess import remove_padding, resize_page
